@@ -1,0 +1,37 @@
+"""Data-parallel flow-graph kernels (pointer doubling, stencils, fixpoints)."""
+
+from . import graph
+from .graph import (
+    accumulate,
+    accumulate_downstream,
+    fillnodata_downstream,
+    fillnodata_upstream,
+    main_upstream,
+    path_sum,
+    pit_mask,
+    propagate_downstream,
+    rank,
+    reach,
+    roots,
+    self_loop,
+    upstream_count,
+    valid_mask,
+)
+
+__all__ = [
+    "graph",
+    "accumulate",
+    "accumulate_downstream",
+    "fillnodata_downstream",
+    "fillnodata_upstream",
+    "main_upstream",
+    "path_sum",
+    "pit_mask",
+    "propagate_downstream",
+    "rank",
+    "reach",
+    "roots",
+    "self_loop",
+    "upstream_count",
+    "valid_mask",
+]

@@ -7,6 +7,7 @@ from .graph import (
     fillnodata_downstream,
     fillnodata_upstream,
     main_upstream,
+    path_reduce,
     path_sum,
     pit_mask,
     propagate_downstream,
@@ -25,6 +26,7 @@ __all__ = [
     "fillnodata_downstream",
     "fillnodata_upstream",
     "main_upstream",
+    "path_reduce",
     "path_sum",
     "pit_mask",
     "propagate_downstream",

@@ -46,6 +46,7 @@ __all__ = [
     "roots",
     "reach",
     "path_sum",
+    "path_reduce",
     "accumulate",
     "accumulate_downstream",
     "upstream_count",
@@ -88,13 +89,18 @@ def rank(idxs_ds: jnp.ndarray) -> jnp.ndarray:
     """Distance to pit counted in cells; loops -> -1, missing -> -9999.
 
     Parallel equivalent of reference ``core.rank`` (core.py:18-47): additive
-    carry pointer doubling. Cells on (or draining into) a cycle never reach
-    a pit; their walked step count reaches ``2^rounds >= n`` and is flagged.
+    carry pointer doubling. Loop detection: a cell is on (or drains into) a
+    cycle iff its converged pointer does not land on an *original* pit —
+    note that cycles whose length is a power of two collapse to self-loops
+    under doubling, so testing the final pointer against the original pit
+    set (not pointer convergence) is required.
     """
     n = idxs_ds.shape[0]
+    ar = jnp.arange(n, dtype=idxs_ds.dtype)
     ptr = self_loop(idxs_ds)
     valid = idxs_ds >= 0
-    step = jnp.where(valid & (ptr != jnp.arange(n, dtype=ptr.dtype)), 1, 0).astype(
+    ispit0 = idxs_ds == ar
+    step = jnp.where(valid & ~ispit0, 1, 0).astype(
         jnp.int64 if n > 2**30 else jnp.int32
     )
     max_rounds = _n_rounds(n)
@@ -110,8 +116,10 @@ def rank(idxs_ds: jnp.ndarray) -> jnp.ndarray:
         return (i < max_rounds) & jnp.any(p != p[p])
 
     # max_rounds suffices: 2^max_rounds >= 2n > any simple path length
-    _, d, _ = lax.while_loop(cond, body, (0, step, ptr))
-    ranks = jnp.where(d > n - 1, -1, d).astype(jnp.int32)
+    _, d, p = lax.while_loop(cond, body, (0, step, ptr))
+    # odd-length cycles may still be mid-rotation: one extra collapse of p
+    # is irrelevant since any non-pit landing marks a loop
+    ranks = jnp.where(ispit0[p], d, -1).astype(jnp.int32)
     return jnp.where(valid, ranks, -9999)
 
 
@@ -148,29 +156,37 @@ def reach(idxs_ds: jnp.ndarray, stop: jnp.ndarray | None) -> jnp.ndarray:
     return ptr
 
 
-def path_sum(
+def path_reduce(
     idxs_ds: jnp.ndarray,
     weights: jnp.ndarray,
     stop: jnp.ndarray | None = None,
+    op: str = "add",
 ) -> jnp.ndarray:
-    """Half-open additive carry along the downstream path.
+    """Half-open reduction (add/min/max) along the downstream path.
 
-    ``out[i] = sum(weights[j] for j on path i..t)`` excluding the terminal
-    cell ``t`` (the first stop cell, else the pit). Used for distance to
-    outlet (weights = edge lengths), downstream accumulation, and HAND-style
-    telescoping carries. Pits/stop cells get 0.
+    ``out[i] = reduce(weights[j] for j on path i..t)`` excluding the
+    terminal cell ``t`` (the first stop cell, else the pit). Used for
+    distance to outlet (add over edge lengths), downstream accumulation,
+    and floodplain path-max tests. Pits/stop cells get the identity
+    (0 / +inf / -inf).
     """
     n = idxs_ds.shape[0]
     ar = jnp.arange(n, dtype=idxs_ds.dtype)
     ptr = self_loop(idxs_ds)
     if stop is not None:
         ptr = jnp.where(stop, ar, ptr)
-    carry = jnp.where(ptr != ar, weights, 0).astype(weights.dtype)
+    ident = _identity(op, weights.dtype)
+    carry = jnp.where(ptr != ar, weights, ident).astype(weights.dtype)
     max_rounds = _n_rounds(n)
+
+    def combine(a, b):
+        if op == "add":
+            return a + b
+        return jnp.maximum(a, b) if op == "max" else jnp.minimum(a, b)
 
     def body(state):
         i, c, p = state
-        c = c + jnp.where(p != ar, c[p], 0)
+        c = combine(c, jnp.where(p != ar, c[p], ident))
         p = p[p]
         return i + 1, c, p
 
@@ -180,6 +196,15 @@ def path_sum(
 
     _, carry, _ = lax.while_loop(cond, body, (0, carry, ptr))
     return carry
+
+
+def path_sum(
+    idxs_ds: jnp.ndarray,
+    weights: jnp.ndarray,
+    stop: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Half-open additive carry along the downstream path (see path_reduce)."""
+    return path_reduce(idxs_ds, weights, stop=stop, op="add")
 
 
 def accumulate_downstream(

@@ -32,6 +32,9 @@ class Affine(tuple):
     def __new__(cls, a, b, c, d, e, f):
         return super().__new__(cls, (float(a), float(b), float(c), float(d), float(e), float(f)))
 
+    def __getnewargs__(self):
+        return tuple(self)
+
     # -- named coefficients -------------------------------------------------
     @property
     def a(self):

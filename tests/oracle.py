@@ -207,3 +207,49 @@ def strahler_order(idxs_ds, mask=None):
         if sto > strmax[ds]:
             strmax[ds] = sto
     return strord
+
+
+def fill_oracle(dem, nodata=-9999.0, connectivity=8, seeds=None):
+    """Independent depression-fill oracle: morphological reconstruction by
+    erosion. w = dem at seed (outlet) cells, +inf elsewhere; iterate
+    w[i] = max(dem[i], min over neighbors w) to fixpoint. Equals
+    priority-flood filling (epsilon = 0)."""
+    dem = np.asarray(dem, dtype=np.float64)
+    nrow, ncol = dem.shape
+    bad = np.isnan(dem) if np.isnan(nodata) else dem == nodata
+    if connectivity == 8:
+        nbrs = NEIGHBORS
+    else:
+        nbrs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if seeds is None:
+        # valid cells on the array border or adjacent to nodata
+        seeds = np.zeros_like(bad)
+        for r in range(nrow):
+            for c in range(ncol):
+                if bad[r, c]:
+                    continue
+                if r == 0 or r == nrow - 1 or c == 0 or c == ncol - 1:
+                    seeds[r, c] = True
+                    continue
+                for dr, dc in nbrs:
+                    if bad[r + dr, c + dc]:
+                        seeds[r, c] = True
+                        break
+    w = np.where(seeds & ~bad, dem, np.inf)
+    changed = True
+    while changed:
+        changed = False
+        for r in range(nrow):
+            for c in range(ncol):
+                if bad[r, c] or seeds[r, c]:
+                    continue
+                m = np.inf
+                for dr, dc in nbrs:
+                    r1, c1 = r + dr, c + dc
+                    if 0 <= r1 < nrow and 0 <= c1 < ncol and not bad[r1, c1]:
+                        m = min(m, w[r1, c1])
+                new = max(dem[r, c], m)
+                if new < w[r, c]:
+                    w[r, c] = new
+                    changed = True
+    return np.where(bad, nodata, w)

@@ -45,6 +45,23 @@ def test_rank_detects_loops():
     assert np.array_equal(got, [-1, -1, -1, -1, 0, -9999])
 
 
+@pytest.mark.parametrize("cycle_len", [2, 3, 4, 8])
+def test_rank_detects_power_of_two_cycles(cycle_len):
+    # power-of-two cycles collapse to self-loops under pointer doubling and
+    # must not be mistaken for pits
+    n = cycle_len + 3
+    ids = np.arange(n, dtype=np.int32)
+    for i in range(cycle_len):
+        ids[i] = (i + 1) % cycle_len
+    ids[cycle_len] = 0  # drains into the cycle
+    ids[cycle_len + 1] = cycle_len + 2  # chain to pit
+    ids[cycle_len + 2] = cycle_len + 2  # pit
+    got = np.asarray(graph.rank(jnp.asarray(ids)))
+    want = oracle.rank(ids)
+    assert np.array_equal(got, want)
+    assert np.all(got[: cycle_len + 1] == -1)
+
+
 def test_roots_and_basins(d8_grid):
     idxs_ds, idxs_pit, _ = _parse(d8_grid)
     root = np.asarray(graph.roots(idxs_ds))

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Benchmark harness: flow accumulation on the Rhine 30" D8 grid.
+
+North-star metric (BASELINE.json): grid-points/s per chip on flow
+accumulation. The TPU kernel is the jitted pointer-doubling accumulation
+(pyflwdir_tpu.ops.graph.accumulate); the baseline is the reference's
+sequential topological sweep (streams.py:37-41) as a native -O3 C++ loop
+(numba-equivalent; the reference itself has no published numbers, see
+BASELINE.md), excluding the topological-ordering precompute for both.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_rhine():
+    from PIL import Image
+
+    path = "/root/reference/examples/rhine_d8.tif"
+    if os.path.exists(path):
+        return np.array(Image.open(path))
+    # fallback: synthetic DEM-derived grid of the same size
+    from pyflwdir_tpu import dem as dem_mod
+
+    rng = np.random.RandomState(7)
+    z = rng.rand(682, 997).astype(np.float32)
+    z += np.add.outer(np.linspace(2, 0, 682), np.linspace(2, 0, 997))
+    return dem_mod.fill_depressions(z)[1]
+
+
+def time_best(fn, n=5):
+    best = np.inf
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pyflwdir_tpu.codecs import d8 as d8c
+    from pyflwdir_tpu.ops import graph
+    from pyflwdir_tpu.ops.plan import accumulate_planned, build_plan
+
+    rhine = load_rhine()
+    n_cells = rhine.size
+    idxs_ds, idxs_pit, n_valid = d8c.from_array(rhine)
+
+    # --- TPU kernel: jitted DFS-interval (Euler tour) accumulation ------
+    # the plan is precomputed per graph, exactly like the reference
+    # precomputes and caches its topological order `seq`
+    plan = build_plan(idxs_ds)
+    jds = jnp.asarray(idxs_ds)
+    data = jnp.ones(n_cells, dtype=jnp.float32)
+
+    @jax.jit
+    def accum(x):
+        return accumulate_planned(plan, x)
+
+    out = accum(data)
+    out.block_until_ready()  # compile
+    # correctness gate: mass conservation
+    pit_sum = float(np.asarray(out)[idxs_pit].sum())
+    assert abs(pit_sum - n_valid) < 1e-3, f"conservation failed: {pit_sum} != {n_valid}"
+
+    t_tpu = time_best(lambda: accum(data).block_until_ready(), n=10)
+    gps_tpu = n_cells / t_tpu
+
+    # --- CPU baseline: native sequential sweep (numba-equivalent) -------
+    vs_baseline = None
+    try:
+        from pyflwdir_tpu.runtime import accuflux_sweep
+
+        rank = np.asarray(graph.rank(jds))
+        valid = rank >= 0
+        seq = np.where(valid)[0][np.argsort(rank[valid], kind="stable")].astype(np.int64)
+        ids64 = idxs_ds.astype(np.int64)
+        accu0 = np.ones(n_cells, dtype=np.float64)
+
+        def run_cpu():
+            a = accu0.copy()
+            accuflux_sweep(ids64, seq, a)
+            return a
+
+        # verify baseline correctness too
+        a = run_cpu()
+        assert abs(a[idxs_pit].sum() - n_valid) < 1e-6
+        t_cpu = time_best(run_cpu, n=5)
+        gps_cpu = n_cells / t_cpu
+        vs_baseline = gps_tpu / gps_cpu
+        baseline_info = {
+            "cpu_native_sweep_s": t_cpu,
+            "cpu_native_gps": gps_cpu,
+            "tpu_s": t_tpu,
+            "tpu_gps": gps_tpu,
+            "grid": list(rhine.shape),
+            "n_valid": int(n_valid),
+            "backend": jax.default_backend(),
+        }
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json"),
+            "w",
+        ) as f:
+            json.dump(baseline_info, f, indent=1)
+    except ImportError:
+        pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "flow-accumulation grid-points/s (Rhine 30\" D8, 682x997)",
+                "value": round(gps_tpu / 1e6, 3),
+                "unit": "Mgp/s",
+                "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

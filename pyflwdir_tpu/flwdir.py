@@ -113,6 +113,15 @@ class Flwdir(object):
         return self._cached["jds"]
 
     @property
+    def _plan(self):
+        """Cached DFS-interval accumulation plan (ops.plan.DfsPlan)."""
+        if "plan" not in self._cached:
+            from .ops.plan import build_plan
+
+            self._cached["plan"] = build_plan(self._idxs_ds)
+        return self._cached["plan"]
+
+    @property
     def _tree(self):
         """Device mask of cells that reach a pit (excludes loops/missing)."""
         if "tree" not in self._cached:
@@ -405,13 +414,12 @@ class Flwdir(object):
 
     def upstream_area(self):
         """Upstream area map based on the set per-cell area."""
+        from .ops.plan import accumulate_planned
+
         uparea = np.asarray(
-            streams.upstream_area(
-                self._jds,
-                jnp.asarray(np.asarray(self.area).ravel(), dtype=jnp.float64),
-                tree=self._tree,
-            )
+            accumulate_planned(self._plan, jnp.asarray(np.asarray(self.area).ravel()))
         )
+        uparea = np.where(np.asarray(self.mask), uparea, -9999)
         return uparea.reshape(self.shape)
 
     def accuflux(self, data, nodata=-9999, direction="up"):
@@ -419,9 +427,17 @@ class Flwdir(object):
 
         Parity: reference flwdir.py:567-602.
         """
-        dflat = jnp.asarray(self._check_data(data, "data"))
+        data_np = self._check_data(data, "data")
+        dflat = jnp.asarray(data_np)
         if direction == "up":
-            accu = streams.accuflux(self._jds, dflat, nodata=nodata, tree=self._tree)
+            if not np.any(data_np == nodata):
+                from .ops.plan import accumulate_planned
+
+                accu = accumulate_planned(self._plan, dflat)
+            else:
+                accu = streams.accuflux(
+                    self._jds, dflat, nodata=nodata, tree=self._tree
+                )
         elif direction == "down":
             accu = streams.accuflux_ds(self._jds, dflat, nodata=nodata)
         else:

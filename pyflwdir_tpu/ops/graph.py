@@ -369,7 +369,7 @@ def main_upstream(
     send = (idxs_ds >= 0) & (idxs_ds != ar)
     sentinel = jnp.asarray(n, dtype=idxs_ds.dtype)
     tgt = jnp.where(send, idxs_ds, sentinel)
-    neg_inf = jnp.asarray(-jnp.inf, dtype=uparea.dtype)
+    neg_inf = _identity("max", uparea.dtype)
     upa_max = (
         jnp.full(n, neg_inf, dtype=uparea.dtype)
         .at[tgt]

@@ -400,11 +400,13 @@ class FlwdirRaster(Flwdir):
             area = np.ones(self.size, dtype=np.int32)
         else:
             area = np.asarray(self.area).ravel() / geodesy.AREA_FACTORS[unit]
+        # DFS-interval plan path: dense cumsum + gathers, no scatters;
         # jnp.asarray keeps float64 when x64 is enabled (tests/CPU) and
         # silently uses float32 otherwise (TPU default)
-        uparea = np.asarray(
-            streams_mod.upstream_area(self._jds, jnp.asarray(area), tree=self._tree)
-        )
+        from .ops.plan import accumulate_planned
+
+        uparea = np.asarray(accumulate_planned(self._plan, jnp.asarray(area)))
+        uparea = np.where(np.asarray(self.mask), uparea, -9999)
         out = uparea.astype(np.float64 if area.dtype.kind == "f" else uparea.dtype)
         return out.reshape(self.shape)
 

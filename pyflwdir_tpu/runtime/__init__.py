@@ -1,4 +1,5 @@
-"""Native (C++) host kernels: exact priority-flood and Dijkstra spread.
+"""Native (C++) host kernels: exact priority-flood, Dijkstra spread, and
+the sequential CPU baseline sweep.
 
 The inherently heap-ordered host algorithms (Wang & Liu priority-flood,
 ``spread2d``) have native C++ implementations in ``csrc/`` built into
@@ -7,36 +8,76 @@ has not been built, importing the kernel names raises ImportError and
 callers fall back to the pure-python implementations of identical
 semantics.
 
-Build: ``make -C csrc`` (see csrc/Makefile).
+Build: ``make -C csrc`` (done automatically on first import when a
+compiler is available).
 """
 
 from __future__ import annotations
 
 import ctypes
 import os
+import subprocess
 
 import numpy as np
 
-_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "csrc", "libpyflwdir_host.so")
-_lib = None
-if os.path.exists(_LIB_PATH):
+_CSRC = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..", "csrc"))
+_LIB_PATH = os.path.join(_CSRC, "libpyflwdir_host.so")
+
+
+def _load():
+    if not os.path.exists(_LIB_PATH):
+        src = os.path.join(_CSRC, "host_kernels.cpp")
+        if os.path.exists(src):
+            try:
+                subprocess.run(
+                    ["make", "-C", _CSRC], capture_output=True, timeout=120, check=True
+                )
+            except Exception:
+                return None
     try:
-        _lib = ctypes.CDLL(_LIB_PATH)
+        return ctypes.CDLL(_LIB_PATH)
     except OSError:
-        _lib = None
+        return None
+
+
+_lib = _load()
 
 if _lib is not None:
     _lib.priority_flood.restype = None
     _lib.priority_flood.argtypes = [
-        ctypes.POINTER(ctypes.c_double),  # elevtn (in/out: filled)
-        ctypes.POINTER(ctypes.c_uint8),  # d8 (out)
-        ctypes.c_int64,  # nrow
-        ctypes.c_int64,  # ncol
-        ctypes.c_double,  # nodata
-        ctypes.c_double,  # max_depth
-        ctypes.c_int,  # connectivity
-        ctypes.POINTER(ctypes.c_int64),  # seed idxs
-        ctypes.c_int64,  # n seeds
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+    ]
+    _lib.accuflux_sweep.restype = None
+    _lib.accuflux_sweep.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    _lib.spread2d.restype = None
+    _lib.spread2d.argtypes = [
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_void_p,  # msk or NULL
+        ctypes.c_void_p,  # frc or NULL
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_double,
+        ctypes.c_int,
+        ctypes.c_void_p,  # dxs or NULL
+        ctypes.c_void_p,  # dys or NULL
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
     ]
 
     def priority_flood(
@@ -57,7 +98,7 @@ if _lib is not None:
 
         elevtn = np.asarray(elevtn)
         nrow, ncol = elevtn.shape
-        work = elevtn.astype(np.float64).copy()
+        work = np.ascontiguousarray(elevtn, dtype=np.float64).copy()
         d8 = np.zeros((nrow, ncol), dtype=np.uint8)
         nan = isinstance(nodata, float) and np.isnan(nodata)
         done = np.isnan(elevtn) if nan else elevtn == nodata
@@ -74,7 +115,7 @@ if _lib is not None:
                     raise ValueError("No initial outlet cells found.")
             seeds = np.where(queued.ravel())[0].astype(np.int64)
             if outlets == "min":
-                # single outlet at the lowest (boundary-tie-broken) edge cell
+                # single outlet: lowest edge cell, (z32, r, c) tie-break
                 zb = work.ravel()[seeds].astype(np.float32)
                 rr = (seeds // ncol).astype(np.uint32)
                 cc = (seeds % ncol).astype(np.uint32)
@@ -82,6 +123,7 @@ if _lib is not None:
                 seeds = seeds[order[:1]]
         else:
             seeds = np.atleast_1d(np.asarray(idxs_pit)).astype(np.int64)
+        seeds = np.ascontiguousarray(seeds)
         _lib.priority_flood(
             work.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             d8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -96,6 +138,78 @@ if _lib is not None:
         filled = work.astype(elevtn.dtype)
         return filled, d8
 
-    __all__ = ["priority_flood"]
+    def accuflux_sweep(idxs_ds, seq, accu):
+        """Sequential topological-sweep accumulation (CPU baseline).
+
+        Numba-equivalent native version of the reference's north-star loop
+        (streams.py:37-41): ``accu[ds[i]] += accu[i]`` over seq reversed.
+        Mutates and returns ``accu`` (float64).
+        """
+        idxs_ds = np.ascontiguousarray(idxs_ds, dtype=np.int64)
+        seq = np.ascontiguousarray(seq, dtype=np.int64)
+        accu = np.ascontiguousarray(accu, dtype=np.float64)
+        _lib.accuflux_sweep(
+            idxs_ds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            seq.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            seq.size,
+            accu.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return accu
+
+    def spread2d(obs, msk=None, nodata=0, frc=None, latlon=False, transform=None):
+        """Dijkstra nearest-observation spread via the native kernel.
+
+        Same semantics as ``pyflwdir_tpu.gridtools._spread2d_py``
+        (reference gis_utils.py:32-114).
+        """
+        from ..utils import geodesy
+        from ..utils.affine import IDENTITY
+
+        if transform is None:
+            transform = IDENTITY
+        obs = np.asarray(obs)
+        nrow, ncol = obs.shape
+        obs64 = np.ascontiguousarray(obs, dtype=np.float64)
+        xres, yres, north = transform[0], abs(transform[4]), transform[5]
+        if latlon:
+            lats = north + (np.arange(nrow) + 0.5) * yres
+            dys = np.ascontiguousarray(geodesy.degree_metres_y(lats) * yres)
+            dxs = np.ascontiguousarray(geodesy.degree_metres_x(lats) * xres)
+            dxs_p = dxs.ctypes.data_as(ctypes.c_void_p)
+            dys_p = dys.ctypes.data_as(ctypes.c_void_p)
+        else:
+            dxs_p = dys_p = None
+        msk_arr = None
+        msk_p = None
+        if msk is not None:
+            msk_arr = np.ascontiguousarray(msk, dtype=np.uint8)
+            msk_p = msk_arr.ctypes.data_as(ctypes.c_void_p)
+        frc_arr = None
+        frc_p = None
+        if frc is not None:
+            frc_arr = np.ascontiguousarray(frc, dtype=np.float64)
+            frc_p = frc_arr.ctypes.data_as(ctypes.c_void_p)
+        out = np.zeros((nrow, ncol), dtype=np.float64)
+        src = np.zeros((nrow, ncol), dtype=np.int32)
+        dst = np.zeros((nrow, ncol), dtype=np.float32)
+        _lib.spread2d(
+            obs64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            msk_p,
+            frc_p,
+            nrow,
+            ncol,
+            float(nodata),
+            int(bool(latlon)),
+            dxs_p,
+            dys_p,
+            float(xres),
+            float(yres),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return out.astype(obs.dtype), src, dst
+
+    __all__ = ["priority_flood", "accuflux_sweep", "spread2d"]
 else:
     __all__ = []

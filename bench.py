@@ -51,7 +51,7 @@ def main():
 
     from pyflwdir_tpu.codecs import d8 as d8c
     from pyflwdir_tpu.ops import graph
-    from pyflwdir_tpu.ops.plan import accumulate_planned, build_plan
+    from pyflwdir_tpu.ops.plan import accumulate_planned_fast, build_plan
 
     rhine = load_rhine()
     n_cells = rhine.size
@@ -66,7 +66,7 @@ def main():
 
     @jax.jit
     def accum(x):
-        return accumulate_planned(plan, x)
+        return accumulate_planned_fast(plan, x)
 
     out = accum(data)
     out.block_until_ready()  # compile
@@ -74,7 +74,23 @@ def main():
     pit_sum = float(np.asarray(out)[idxs_pit].sum())
     assert abs(pit_sum - n_valid) < 1e-3, f"conservation failed: {pit_sum} != {n_valid}"
 
-    t_tpu = time_best(lambda: accum(data).block_until_ready(), n=10)
+    # steady-state throughput: chain ITERS kernel applications inside one
+    # executable (the per-dispatch latency of the dev-tunnel runtime is not
+    # a property of the kernel; the CPU baseline loop has no such cost)
+    ITERS = 50
+    from jax import lax
+
+    @jax.jit
+    def accum_loop(x):
+        # each iteration depends on the previous result (not hoistable) but
+        # the epsilon keeps the numerics at accum(data) scale
+        return lax.fori_loop(
+            0, ITERS, lambda i, a: accumulate_planned_fast(plan, data + a * 1e-30), x
+        )
+
+    accum_loop(data).block_until_ready()
+    t_loop = time_best(lambda: accum_loop(data).block_until_ready(), n=3)
+    t_tpu = t_loop / ITERS
     gps_tpu = n_cells / t_tpu
 
     # --- CPU baseline: native sequential sweep (numba-equivalent) -------

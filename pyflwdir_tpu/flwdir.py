@@ -414,7 +414,7 @@ class Flwdir(object):
 
     def upstream_area(self):
         """Upstream area map based on the set per-cell area."""
-        from .ops.plan import accumulate_planned
+        from .ops.plan import accumulate_planned_fast as accumulate_planned
 
         uparea = np.asarray(
             accumulate_planned(self._plan, jnp.asarray(np.asarray(self.area).ravel()))
@@ -431,7 +431,7 @@ class Flwdir(object):
         dflat = jnp.asarray(data_np)
         if direction == "up":
             if not np.any(data_np == nodata):
-                from .ops.plan import accumulate_planned
+                from .ops.plan import accumulate_planned_fast as accumulate_planned
 
                 accu = accumulate_planned(self._plan, dflat)
             else:

@@ -403,7 +403,7 @@ class FlwdirRaster(Flwdir):
         # DFS-interval plan path: dense cumsum + gathers, no scatters;
         # jnp.asarray keeps float64 when x64 is enabled (tests/CPU) and
         # silently uses float32 otherwise (TPU default)
-        from .ops.plan import accumulate_planned
+        from .ops.plan import accumulate_planned_fast as accumulate_planned
 
         uparea = np.asarray(accumulate_planned(self._plan, jnp.asarray(area)))
         uparea = np.where(np.asarray(self.mask), uparea, -9999)

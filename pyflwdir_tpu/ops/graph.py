@@ -54,6 +54,7 @@ __all__ = [
     "fillnodata_upstream",
     "fillnodata_downstream",
     "propagate_downstream",
+    "upstream_matrix",
 ]
 
 
@@ -445,3 +446,30 @@ def propagate_downstream(idxs_ds: jnp.ndarray, data: jnp.ndarray) -> jnp.ndarray
     missing cells keeping their own value. (Reference ``Flwdir.downstream``
     semantics, flwdir.py:394-410.)"""
     return data[self_loop(idxs_ds)]
+
+
+def upstream_matrix(idxs_ds_np):
+    """(n, d) matrix of upstream cell indices per cell, padded with -1.
+
+    Host (numpy) parity helper for reference ``core.upstream_matrix``
+    (core.py:68-84): row i lists the cells draining into i in ascending
+    index order; d is the maximum fan-in.
+    """
+    import numpy as np
+
+    ids = np.asarray(idxs_ds_np)
+    n = ids.size
+    ar = np.arange(n)
+    is_child = (ids >= 0) & (ids != ar)
+    children = ar[is_child]
+    parents = ids[is_child]
+    order = np.argsort(parents, kind="stable")
+    children = children[order]
+    parents = parents[order]
+    counts = np.bincount(parents, minlength=n)
+    d = int(counts.max()) if counts.size else 0
+    out = np.full((n, max(d, 1)), -1, dtype=ids.dtype)
+    group_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(children.size) - group_start[parents]
+    out[parents, slot] = children
+    return out

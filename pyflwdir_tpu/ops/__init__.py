@@ -1,6 +1,6 @@
 """Data-parallel flow-graph kernels (pointer doubling, stencils, fixpoints)."""
 
-from . import graph
+from . import fill, graph, order, plan, stencil, walk
 from .graph import (
     accumulate,
     accumulate_downstream,
@@ -21,6 +21,11 @@ from .graph import (
 
 __all__ = [
     "graph",
+    "fill",
+    "order",
+    "plan",
+    "stencil",
+    "walk",
     "accumulate",
     "accumulate_downstream",
     "fillnodata_downstream",

@@ -1,0 +1,66 @@
+"""Device iterative depression fill vs the exact host priority-flood."""
+
+import numpy as np
+import pytest
+
+from pyflwdir_tpu import dem
+from pyflwdir_tpu.codecs import d8 as d8c
+from pyflwdir_tpu.ops.fill import d8_from_filled, fill_depressions_dev
+from tests import oracle
+from tests.test_dem import WANG_LIU
+
+
+def _check_valid_network(filled, d8_arr):
+    assert d8c.isvalid(np.asarray(d8_arr))
+    ids, pits, _ = d8c.from_array(np.asarray(d8_arr))
+    r = oracle.rank(ids)
+    assert np.all(r[ids >= 0] >= 0), "loops"
+    f = np.asarray(filled).ravel()
+    nonpit = (ids >= 0) & (ids != np.arange(ids.size))
+    assert np.all(f[ids[nonpit]] <= f[nonpit] + 1e-6), "uphill flow"
+
+
+@pytest.mark.parametrize("connectivity", [8, 4])
+def test_dev_fill_matches_host(connectivity):
+    got = np.asarray(fill_depressions_dev(WANG_LIU, connectivity=connectivity))
+    want = dem.fill_depressions(WANG_LIU, connectivity=connectivity)[0]
+    assert np.allclose(got, want)
+
+
+def test_dev_fill_min_outlet_and_nodata():
+    got = np.asarray(fill_depressions_dev(WANG_LIU, outlets="min"))
+    want = dem.fill_depressions(WANG_LIU, outlets="min")[0]
+    assert np.allclose(got, want)
+    a2 = WANG_LIU.copy()
+    a2[3, 5:] = -9999
+    got = np.asarray(fill_depressions_dev(a2))
+    want = dem.fill_depressions(a2)[0]
+    assert np.allclose(got, want)
+
+
+def test_dev_fill_random_grids():
+    rng = np.random.RandomState(3)
+    for t in range(4):
+        a = np.round(rng.rand(30, 41) * 40).astype(np.float64)
+        a[rng.rand(30, 41) < 0.04] = -9999.0
+        got = np.asarray(fill_depressions_dev(a))
+        want = dem.fill_depressions(a)[0]
+        assert np.allclose(got, want), t
+
+
+def test_dev_d8_from_filled():
+    filled = np.asarray(fill_depressions_dev(WANG_LIU))
+    d8_arr = d8_from_filled(filled)
+    _check_valid_network(filled, d8_arr)
+    # all valid cells drain (no interior flat stuck)
+    ids, pits, n = d8c.from_array(np.asarray(d8_arr))
+    accu = oracle.accuflux(ids, np.ones(ids.size), nodata=-9999)
+    assert accu[pits].sum() == n
+
+
+def test_dev_d8_random():
+    rng = np.random.RandomState(5)
+    a = np.round(rng.rand(25, 33) * 30).astype(np.float64)
+    filled = np.asarray(fill_depressions_dev(a))
+    d8_arr = d8_from_filled(filled)
+    _check_valid_network(filled, d8_arr)

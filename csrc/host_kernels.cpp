@@ -291,3 +291,53 @@ int64_t dfs_preorder(const int64_t* idxs_ds, int64_t n, int64_t* preorder,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Stream orders in O(n) over the reverse DFS preorder (up -> downstream
+// topological order). Exact reference semantics (streams.py:192-269).
+// ---------------------------------------------------------------------------
+void strahler_order_host(const int64_t* idxs_ds, const int64_t* preorder,
+                         int64_t n_tree, int64_t n, const uint8_t* mask,
+                         uint8_t* strord) {
+  std::vector<uint8_t> strmax(n, 0);
+  for (int64_t i = 0; i < n; ++i) strord[i] = 0;
+  for (int64_t j = n_tree - 1; j >= 0; --j) {  // up- to downstream
+    int64_t i = preorder[j];
+    if (mask != nullptr && !mask[i]) continue;
+    uint8_t sto = strord[i] == 0 ? 1 : strord[i];
+    strord[i] = sto;
+    int64_t ds = idxs_ds[i];
+    if (ds == i) continue;
+    uint8_t sto_ds = strord[ds];
+    uint8_t sto_up = strmax[ds];
+    if (sto_ds < sto) {
+      strord[ds] = sto;
+    } else if (sto == sto_ds && sto_up == sto) {
+      strord[ds] += 1;
+    }
+    if (sto_up < sto) strmax[ds] = sto;
+  }
+}
+
+void classic_order_host(const int64_t* idxs_ds, const int64_t* preorder,
+                        const int64_t* idxs_us_main, int64_t n_tree, int64_t n,
+                        const uint8_t* mask, const int8_t* nup,
+                        uint8_t* strord) {
+  for (int64_t i = 0; i < n; ++i) strord[i] = 0;
+  for (int64_t j = 0; j < n_tree; ++j) {  // down- to upstream
+    int64_t i = preorder[j];
+    if (mask != nullptr && !mask[i]) continue;
+    int64_t ds = idxs_ds[i];
+    if (ds == i) {
+      strord[i] = 1;
+    } else if (nup[ds] > 1 && idxs_us_main[ds] != i) {
+      strord[i] = (uint8_t)(strord[ds] + 1);
+    } else {
+      strord[i] = strord[ds];
+    }
+  }
+}
+
+}  // extern "C"

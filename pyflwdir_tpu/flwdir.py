@@ -399,7 +399,18 @@ class Flwdir(object):
         if type.lower() == "strahler":
             if mask is None and "strord" in self._cached:
                 return self._cached["strord"].reshape(self.shape)
-            strord = np.asarray(streams.strahler_order(self._jds, mask=jmask))
+            # O(n) native sweep over the cached DFS preorder when built;
+            # device scatter fixpoint otherwise (O(tree height) rounds)
+            try:
+                from .runtime import strahler_order as _native_strahler
+
+                strord = _native_strahler(
+                    self._idxs_ds,
+                    np.asarray(self._plan.preorder),
+                    mask=None if mask is None else (mask != 0),
+                )
+            except ImportError:
+                strord = np.asarray(streams.strahler_order(self._jds, mask=jmask))
             if self.cache and mask is None:
                 self._cached["strord"] = strord
         elif type.lower() == "classic":

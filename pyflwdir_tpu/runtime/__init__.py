@@ -210,6 +210,76 @@ if _lib is not None:
         )
         return out.astype(obs.dtype), src, dst
 
-    __all__ = ["priority_flood", "accuflux_sweep", "spread2d"]
+    _lib.strahler_order_host.restype = None
+    _lib.strahler_order_host.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_void_p,  # mask or NULL
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    _lib.classic_order_host.restype = None
+    _lib.classic_order_host.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_void_p,  # mask or NULL
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+
+    def strahler_order(idxs_ds, preorder, mask=None):
+        """O(n) Strahler order over the reverse DFS preorder (native).
+
+        Exact reference semantics (streams.py:229-269)."""
+        ids64 = np.ascontiguousarray(idxs_ds, dtype=np.int64)
+        pre64 = np.ascontiguousarray(preorder, dtype=np.int64)
+        out = np.zeros(ids64.size, dtype=np.uint8)
+        if mask is not None:
+            mask = np.ascontiguousarray(mask, dtype=np.uint8)
+            mask_p = mask.ctypes.data_as(ctypes.c_void_p)
+        else:
+            mask_p = None
+        _lib.strahler_order_host(
+            ids64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            pre64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            pre64.size,
+            ids64.size,
+            mask_p,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return out
+
+    def classic_order(idxs_ds, preorder, idxs_us_main, nup, mask=None):
+        """O(n) classic (Hack) order over the DFS preorder (native).
+
+        Exact reference semantics (streams.py:192-225)."""
+        ids64 = np.ascontiguousarray(idxs_ds, dtype=np.int64)
+        pre64 = np.ascontiguousarray(preorder, dtype=np.int64)
+        usm64 = np.ascontiguousarray(idxs_us_main, dtype=np.int64)
+        nup8 = np.ascontiguousarray(nup, dtype=np.int8)
+        out = np.zeros(ids64.size, dtype=np.uint8)
+        if mask is not None:
+            mask = np.ascontiguousarray(mask, dtype=np.uint8)
+            mask_p = mask.ctypes.data_as(ctypes.c_void_p)
+        else:
+            mask_p = None
+        _lib.classic_order_host(
+            ids64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            pre64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            usm64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            pre64.size,
+            ids64.size,
+            mask_p,
+            nup8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return out
+
+    __all__ = ["priority_flood", "accuflux_sweep", "spread2d",
+               "strahler_order", "classic_order"]
 else:
     __all__ = []

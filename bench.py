@@ -57,16 +57,27 @@ def main():
     n_cells = rhine.size
     idxs_ds, idxs_pit, n_valid = d8c.from_array(rhine)
 
-    # --- TPU kernel: jitted DFS-interval (Euler tour) accumulation ------
-    # the plan is precomputed per graph, exactly like the reference
-    # precomputes and caches its topological order `seq`
-    plan = build_plan(idxs_ds)
+    # --- TPU kernel: router-accelerated DFS-interval accumulation -------
+    # (ops/accel.py: 4 static-permutation routers + MXU prefix sums).
+    # The plan is precomputed per graph, exactly like the reference
+    # precomputes and caches its topological order `seq`.
+    from pyflwdir_tpu.ops.accel import build_accel_plan
+
+    plan = build_plan(idxs_ds, fast=False)
+    aplan = build_accel_plan(idxs_ds, plan)
     jds = jnp.asarray(idxs_ds)
     data = jnp.ones(n_cells, dtype=jnp.float32)
 
-    @jax.jit
-    def accum(x):
-        return accumulate_planned_fast(plan, x)
+    if aplan is not None:
+        @jax.jit
+        def accum(x):
+            return aplan.accumulate(x)
+    else:
+        plan = build_plan(idxs_ds)
+
+        @jax.jit
+        def accum(x):
+            return accumulate_planned_fast(plan, x)
 
     out = accum(data)
     out.block_until_ready()  # compile
@@ -80,13 +91,16 @@ def main():
     ITERS = 50
     from jax import lax
 
+    if aplan is not None:
+        _apply = aplan.accumulate
+    else:
+        _apply = lambda x: accumulate_planned_fast(plan, x)
+
     @jax.jit
     def accum_loop(x):
         # each iteration depends on the previous result (not hoistable) but
         # the epsilon keeps the numerics at accum(data) scale
-        return lax.fori_loop(
-            0, ITERS, lambda i, a: accumulate_planned_fast(plan, data + a * 1e-30), x
-        )
+        return lax.fori_loop(0, ITERS, lambda i, a: _apply(data + a * 1e-30), x)
 
     accum_loop(data).block_until_ready()
     t_loop = time_best(lambda: accum_loop(data).block_until_ready(), n=3)

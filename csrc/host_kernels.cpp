@@ -341,3 +341,73 @@ void classic_order_host(const int64_t* idxs_ds, const int64_t* preorder,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Bipartite multigraph edge coloring by recursive Euler splitting.
+//
+// Input: a deg-regular bipartite multigraph (deg a power of two) given as
+// E edges u[e] in [0,nL) -> v[e] in [0,nR). Writes color[e] in [0,deg)
+// such that edges sharing a left OR right endpoint get distinct colors
+// (a proper deg-edge-coloring; exists by Konig's theorem).
+//
+// Used by the TPU static-permutation router (ops/router.py): a Birkhoff/
+// Hall 3-stage routing of an arbitrary permutation over a (rows, 128-lane)
+// grid needs the (src_row -> dst_row) multigraph colored with 128 colors;
+// the color becomes the intermediate lane assignment.
+//
+// Algorithm: level-by-level Euler splitting. At each level every group
+// (color-prefix class) induces a subgraph where all vertex degrees are
+// even; walking Eulerian circuits and orienting edges along the traversal
+// splits each vertex's incident edges exactly in half (left->right
+// oriented edges get bit 0, right->left bit 1). log2(deg) levels, O(E)
+// work per level.
+// ---------------------------------------------------------------------------
+extern "C" void bipartite_color(const int64_t* u, const int64_t* v, int64_t E,
+                                int64_t nL, int64_t nR, int32_t deg,
+                                int32_t* color) {
+  int levels = 0;
+  while ((1 << levels) < deg) ++levels;
+  int64_t nV = nL + nR;
+  std::vector<int32_t> grp(E, 0);
+  std::vector<uint8_t> used(E);
+  std::vector<int64_t> cnt, cur, inc(2 * E);
+  for (int lev = 0; lev < levels; ++lev) {
+    int64_t ngrp = 1LL << lev;
+    int64_t nkey = nV * ngrp;
+    cnt.assign(nkey + 1, 0);
+    for (int64_t e = 0; e < E; ++e) {
+      cnt[u[e] * ngrp + grp[e] + 1]++;
+      cnt[(nL + v[e]) * ngrp + grp[e] + 1]++;
+    }
+    for (int64_t k = 0; k < nkey; ++k) cnt[k + 1] += cnt[k];
+    cur.assign(cnt.begin(), cnt.end() - 1);
+    for (int64_t e = 0; e < E; ++e) {
+      inc[cur[u[e] * ngrp + grp[e]]++] = e;
+      inc[cur[(nL + v[e]) * ngrp + grp[e]]++] = e;
+    }
+    // reset cursors to bucket starts for the walks
+    cur.assign(cnt.begin(), cnt.end() - 1);
+    std::fill(used.begin(), used.end(), 0);
+    for (int64_t e0 = 0; e0 < E; ++e0) {
+      if (used[e0]) continue;
+      int64_t g = grp[e0];
+      int64_t w = u[e0];  // start each circuit at the left endpoint
+      while (true) {
+        int64_t key = w * ngrp + g;
+        int64_t& c = cur[key];
+        while (c < cnt[key + 1] && used[inc[c]]) ++c;
+        if (c >= cnt[key + 1]) break;  // circuit closed (even degrees)
+        int64_t e = inc[c];
+        used[e] = 1;
+        if (w < nL) {  // traversing left->right: bit 0
+          grp[e] = (int32_t)(grp[e] * 2);
+          w = nL + v[e];
+        } else {  // right->left: bit 1
+          grp[e] = (int32_t)(grp[e] * 2 + 1);
+          w = u[e];
+        }
+      }
+    }
+  }
+  for (int64_t e = 0; e < E; ++e) color[e] = grp[e];
+}

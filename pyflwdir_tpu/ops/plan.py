@@ -41,14 +41,18 @@ class DfsPlan:
 
     _BLK = 128
 
-    def __init__(self, preorder, pos, size):
-        self.preorder = jnp.asarray(preorder, dtype=jnp.int32)
-        self.pos = jnp.asarray(pos, dtype=jnp.int32)
-        self.size = jnp.asarray(size, dtype=jnp.int32)
+    def __init__(self, preorder, pos, size, fast=True):
+        # host copies (plan assembly stays on host; device upload lazy)
+        self.preorder_np = np.asarray(preorder, dtype=np.int32)
+        self.pos_np = np.asarray(pos, dtype=np.int32)
+        self.size_np = np.asarray(size, dtype=np.int32)
+        self.preorder = jnp.asarray(self.preorder_np)
+        self.pos = jnp.asarray(self.pos_np)
+        self.size = jnp.asarray(self.size_np)
         self.n_tree = int(self.preorder.shape[0])
         # build eagerly: lazily constructing device arrays inside a jit
         # trace would cache tracers (UnexpectedTracerError on reuse)
-        self._fast = self._build_fast() if self.n_tree else None
+        self._fast = self._build_fast() if (self.n_tree and fast) else None
 
     def fast(self):
         return self._fast
@@ -120,8 +124,12 @@ def _dfs_py(idxs_ds):
     return preorder[:k], pos, size
 
 
-def build_plan(idxs_ds_np) -> DfsPlan:
-    """Build the DFS plan for a graph (native C++ when available)."""
+def build_plan(idxs_ds_np, fast=True) -> DfsPlan:
+    """Build the DFS plan for a graph (native C++ when available).
+
+    ``fast=False`` skips the device-side interval-end tables (used when a
+    router-based :mod:`ops.accel` plan will execute the accumulation).
+    """
     idxs_ds_np = np.asarray(idxs_ds_np)
     try:
         from ..runtime import _lib  # noqa: PLC2701
@@ -149,10 +157,10 @@ def build_plan(idxs_ds_np) -> DfsPlan:
                 pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 size.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             )
-            return DfsPlan(preorder[:k], pos, size)
+            return DfsPlan(preorder[:k], pos, size, fast=fast)
     except ImportError:
         pass
-    return DfsPlan(*_dfs_py(idxs_ds_np))
+    return DfsPlan(*_dfs_py(idxs_ds_np), fast=fast)
 
 
 def _acc_dtype(dtype):

@@ -268,57 +268,74 @@ class RouterPlan:
         iS2 = np.zeros((Y, _S), dtype=np.int8)
         iS2[gd * _S + c, sd] = c2
 
-        # G stage on (S*L, G) fibers, packed (128 // G) fibers per row
-        pack = _S // G
+        # G stage on (S*L, G) fibers (Mosaic dynamic-gather handles any
+        # minor width; no lane packing needed)
         fib = c2 * _S + c  # fiber row in the (s, l) -> lanes=g layout
-        nf = _S * _S
-        nf_pad = -(-nf // pack) * pack
-        iGp = np.zeros((nf_pad // pack, _S), dtype=np.int8)
-        slot = fib % pack
-        iGp[fib // pack, slot * G + gd] = (slot * G + gs).astype(np.int8)
-        return RouterPlan(G, i1, iS1, iGp, iS2, i3)
+        iG = np.zeros((_S * _S, G), dtype=np.int8)
+        iG[fib, gd] = gs.astype(np.int8)
+        return RouterPlan(G, i1, iS1, iG, iS2, i3)
 
     # -- execution ------------------------------------------------------
+    @staticmethod
+    def _chain(v, G, i1, iS1, iG, iS2, i3, ta):
+        """The 5-stage routing chain in terms of a lane-gather ``ta``."""
+        S = _S
+        v = ta(v.reshape(G * S, S), i1)  # (g, s, l): lane perm
+        v = v.reshape(G, S, S).transpose(0, 2, 1)
+        v = ta(v.reshape(G * S, S), iS1)  # (g, l, s): s perm
+        v = v.reshape(G, S, S).transpose(2, 1, 0)
+        v = ta(v.reshape(S * S, G), iG)  # (s, l, g): g perm
+        v = v.reshape(S, S, G).transpose(2, 1, 0)
+        v = ta(v.reshape(G * S, S), iS2)  # (g, l, s): s perm
+        v = v.reshape(G, S, S).transpose(0, 2, 1)
+        return ta(v.reshape(G * S, S), i3)  # (g, s, l): lane perm
+
     def apply(self, x2):
-        """Apply the permutation to ``x2`` of shape (G*128, 128)."""
-        G, S = self.G, _S
-        v = _ta(x2, self.i1)  # (g, s, l): lane perm
-        v = v.reshape(G, S, S).transpose(0, 2, 1).reshape(G * S, S)
-        v = _ta(v, self.iS1)  # (g, l, s): s perm
-        v = v.reshape(G, S, S).transpose(2, 1, 0).reshape(S * S, G)
-        # (s, l, g): pack (128 // G) fibers per row, g perm, unpack
-        pack = S // G
-        nf = S * S
-        nf_pad = -(-nf // pack) * pack
-        v = jnp.pad(v, ((0, nf_pad - nf), (0, 0)))
-        v = v.reshape(nf_pad // pack, pack * G)
-        v = jnp.pad(v, ((0, 0), (0, S - pack * G)))
-        v = _ta(v, self.iGp)
-        v = v[:, : pack * G].reshape(nf_pad, G)[:nf]
-        v = v.reshape(S, S, G).transpose(2, 1, 0).reshape(G * S, S)
-        v = _ta(v, self.iS2)  # (g, l, s)
-        v = v.reshape(G, S, S).transpose(0, 2, 1).reshape(G * S, S)
-        v = _ta(v, self.i3)  # (g, s, l)
-        return v
+        """Apply the permutation to ``x2`` of shape (G*128, 128).
+
+        On TPU the whole 5-gather/4-transpose chain fuses into one Pallas
+        kernel (one HBM round trip); elsewhere it runs as XLA ops.
+        """
+        G = self.G
+        i1, iS1, iG, iS2, i3 = self._device_arrays
+        if not _on_tpu():
+            def ta(v, idx):
+                return jnp.take_along_axis(v, idx.astype(jnp.int32), axis=1)
+
+            return RouterPlan._chain(x2, G, i1, iS1, iG, iS2, i3, ta)
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def kernel(x_ref, i1r, iS1r, iGr, iS2r, i3r, o_ref):
+            def ta(v, idx):
+                return jnp.take_along_axis(v, idx.astype(jnp.int32), axis=1)
+
+            o_ref[:] = RouterPlan._chain(
+                x_ref[:], G, i1r[:], iS1r[:], iGr[:], iS2r[:], i3r[:], ta
+            )
+
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(x2, i1, iS1, iG, iS2, i3)
 
     def apply_np(self, x):
         """NumPy simulation of :meth:`apply` (tests / reference)."""
-        G, S = self.G, _S
-        v = np.asarray(x).reshape(G * S, S)
-        v = np.take_along_axis(v, self.i1_np.astype(np.int64), axis=1)
-        v = v.reshape(G, S, S).transpose(0, 2, 1).reshape(G * S, S)
-        v = np.take_along_axis(v, self.iS1_np.astype(np.int64), axis=1)
-        v = v.reshape(G, S, S).transpose(2, 1, 0).reshape(S * S, G)
-        pack = S // G
-        nf = S * S
-        nf_pad = -(-nf // pack) * pack
-        v = np.pad(v, ((0, nf_pad - nf), (0, 0)))
-        v = v.reshape(nf_pad // pack, pack * G)
-        v = np.pad(v, ((0, 0), (0, S - pack * G)))
-        v = np.take_along_axis(v, self.iGp_np.astype(np.int64), axis=1)
-        v = v[:, : pack * G].reshape(nf_pad, G)[:nf]
-        v = v.reshape(S, S, G).transpose(2, 1, 0).reshape(G * S, S)
-        v = np.take_along_axis(v, self.iS2_np.astype(np.int64), axis=1)
-        v = v.reshape(G, S, S).transpose(0, 2, 1).reshape(G * S, S)
-        v = np.take_along_axis(v, self.i3_np.astype(np.int64), axis=1)
-        return v
+
+        def ta(v, idx):
+            return np.take_along_axis(v, np.asarray(idx, np.int64), axis=1)
+
+        v = np.asarray(x)
+        return RouterPlan._chain(
+            v,
+            self.G,
+            self.i1_np,
+            self.iS1_np,
+            self.iGp_np,
+            self.iS2_np,
+            self.i3_np,
+            ta,
+        ).reshape(self.G * _S, _S)

@@ -13,6 +13,33 @@ Public API parity: reference ``pyflwdir/__init__.py:16-29``.
 
 __version__ = "0.1.0"
 
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (analogue of the reference's
+    ``@njit(cache=True)`` startup-latency fix, pyflwdir core.py:17 /
+    CHANGELOG.rst:18). Graph-plan Pallas kernels compile once per
+    machine; subsequent processes load the cached executable. Opt out
+    with ``PYFLWDIR_TPU_NO_CACHE=1``."""
+    import os
+
+    if os.environ.get("PYFLWDIR_TPU_NO_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "PYFLWDIR_TPU_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+        )
+        jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache_dir))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 from . import (
     arithmetics,
     basins,

@@ -15,7 +15,18 @@ import numpy as np
 from .utils import geodesy
 from .utils.affine import IDENTITY
 
-__all__ = ["spread2d", "features"]
+__all__ = ["spread2d", "features", "get_edge"]
+
+
+def get_edge(a, structure=None):
+    """Morphological edge of a boolean mask (reference gis_utils.py:118-135).
+
+    Re-exported from :mod:`pyflwdir_tpu.dem`, where the jittable 3x3
+    stencil lives.
+    """
+    from .dem import get_edge as _get_edge
+
+    return _get_edge(a, structure=structure)
 
 
 def spread2d(obs, msk=None, nodata=0, frc=None, latlon=False, transform=IDENTITY):

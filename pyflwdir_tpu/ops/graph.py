@@ -55,6 +55,12 @@ __all__ = [
     "fillnodata_downstream",
     "propagate_downstream",
     "upstream_matrix",
+    "pit_indices",
+    "loop_indices",
+    "headwater_indices",
+    "confluence_indices",
+    "flwdir_tuples",
+    "idxs_seq",
 ]
 
 
@@ -446,6 +452,97 @@ def propagate_downstream(idxs_ds: jnp.ndarray, data: jnp.ndarray) -> jnp.ndarray
     missing cells keeping their own value. (Reference ``Flwdir.downstream``
     semantics, flwdir.py:394-410.)"""
     return data[self_loop(idxs_ds)]
+
+
+# ---------------------------------------------------------------------------
+# index-set extraction (variable-length outputs -> host numpy arrays)
+# ---------------------------------------------------------------------------
+
+
+def pit_indices(idxs_ds):
+    """Indices of pit cells (``idxs_ds[i] == i``).
+
+    Equivalent of reference ``core.pit_indices`` (core.py:226-232); the
+    device predicate is :func:`pit_mask`, this wrapper extracts the
+    (variable-length) index set on host.
+    """
+    import numpy as np
+
+    ids = np.asarray(idxs_ds)
+    return np.nonzero(ids == np.arange(ids.size))[0].astype(ids.dtype)
+
+
+def loop_indices(idxs_ds):
+    """Indices of cells on (or draining into) a cycle, i.e. ``rank == -1``.
+
+    Equivalent of reference ``core.loop_indices`` (core.py:235-243).
+    """
+    import numpy as np
+
+    r = np.asarray(rank(jnp.asarray(idxs_ds)))
+    ids = np.asarray(idxs_ds)
+    return np.nonzero(r == -1)[0].astype(ids.dtype)
+
+
+def headwater_indices(idxs_ds, mask=None):
+    """Indices of cells with no upstream neighbors.
+
+    Equivalent of reference ``core.headwater_indices`` (core.py:246-250).
+    """
+    import numpy as np
+
+    nup = np.asarray(
+        upstream_count(jnp.asarray(idxs_ds), None if mask is None else jnp.asarray(mask))
+    )
+    ids = np.asarray(idxs_ds)
+    return np.nonzero(nup == 0)[0].astype(ids.dtype)
+
+
+def confluence_indices(idxs_ds, mask=None):
+    """Indices of cells with two or more upstream neighbors.
+
+    Equivalent of reference ``core.confluence_indices`` (core.py:253-257).
+    """
+    import numpy as np
+
+    nup = np.asarray(
+        upstream_count(jnp.asarray(idxs_ds), None if mask is None else jnp.asarray(mask))
+    )
+    ids = np.asarray(idxs_ds)
+    return np.nonzero(nup > 1)[0].astype(ids.dtype)
+
+
+def flwdir_tuples(idxs_ds, mask=None):
+    """List of [upstream, downstream] linear-index pairs for valid links.
+
+    Equivalent of reference ``core.flwdir_tuples`` (core.py:260-269):
+    one pair per valid (optionally masked) cell, pits pair with themselves.
+    """
+    import numpy as np
+
+    ids = np.asarray(idxs_ds)
+    keep = ids >= 0
+    if mask is not None:
+        keep = keep & (np.asarray(mask) == 1)
+    idx0 = np.nonzero(keep)[0]
+    return [np.array([i, ids[i]], dtype=ids.dtype) for i in idx0]
+
+
+def idxs_seq(idxs_ds):
+    """Topological cell ordering, downstream cells first.
+
+    Equivalent of reference ``core.idxs_seq`` (core.py:88-117), which BFSs
+    up from the pits; here the same ordering class is derived from the
+    device :func:`rank` kernel — a stable argsort of distance-to-pit, so
+    every cell appears after its downstream neighbor. Loop / missing cells
+    are excluded, matching the reference's unreachable-cell behavior.
+    """
+    import numpy as np
+
+    ids = np.asarray(idxs_ds)
+    r = np.asarray(rank(jnp.asarray(ids)))
+    valid = r >= 0
+    return np.nonzero(valid)[0][np.argsort(r[valid], kind="stable")].astype(ids.dtype)
 
 
 def upstream_matrix(idxs_ds_np):

@@ -27,9 +27,20 @@ def _enable_compile_cache():
     try:
         import jax
 
+        # never clobber a user-configured cache (env var or jax.config)
+        if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            return
+        if getattr(jax.config, "jax_compilation_cache_dir", None):
+            return
         cache_dir = os.environ.get(
             "PYFLWDIR_TPU_CACHE_DIR",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+            os.path.join(
+                os.environ.get(
+                    "XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache")
+                ),
+                "pyflwdir_tpu",
+                "jax",
+            ),
         )
         jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache_dir))
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -203,43 +203,24 @@ def subbasins_pfafstetter(
 
 
 def subbasins_area(idxs_ds_np, rank_np, idxs_us_main_np, uparea_np, area_min):
-    """Subbasins with a minimum area (host sequential).
+    """Subbasins with a minimum area.
 
-    Parity: reference ``basins.subbasins_area`` (basins.py:195-233). The
-    sweep carries running outlet-area state downstream-to-upstream and is
-    inherently sequential; it runs on the host over a rank-sorted order
-    using device-computed uparea / main-upstream inputs.
+    Semantics of reference ``basins.subbasins_area`` (basins.py:195-233):
+    the down- to upstream sweep carrying the unclaimed drainage budget is
+    inherently sequential and runs natively
+    (csrc/network_kernels.cpp::subbasin_area_outlets); the outlet labels
+    then fill upstream on device.
     """
-    n = idxs_ds_np.size
+    from .runtime import subbasin_area_outlets as _native
+
     valid = rank_np >= 0
     order = np.argsort(rank_np[valid], kind="stable")
-    seq = np.where(valid)[0][order]
-    upa_out = uparea_np.copy()
-    subbas = np.zeros(n, dtype=np.uint32)
-    idxs = []
-    for idx in seq:  # down- to upstream
-        idx_ds = idxs_ds_np[idx]
-        if idx_ds == idx:
-            idxs.append(idx)
-            subbas[idx] = len(idxs)
-            continue
-        upa0 = upa_out[idx_ds]
-        upa = uparea_np[idx]
-        if (upa0 - upa) > area_min and upa > area_min:
-            conf = (uparea_np[idx_ds] - upa) > area_min
-            trib = idxs_us_main_np[idx_ds] != idx
-            if not conf or trib:
-                idxs.append(idx)
-                subbas[idx] = len(idxs)
-                upa_out[idx] = upa
-            if trib:
-                idx1 = idxs_us_main_np[idx_ds]
-                upa_out[idx_ds] -= upa
-                upa_out[idx1] = upa_out[idx_ds]
-        else:
-            upa_out[idx] = upa0
-    idxs1 = np.array(idxs, dtype=idxs_ds_np.dtype)
+    seq = np.where(valid)[0][order]  # down- to upstream
+    subbas, idxs1 = _native(
+        idxs_ds_np, np.asarray(idxs_us_main_np), seq, np.asarray(uparea_np),
+        float(area_min),
+    )
     filled = graph.fillnodata_upstream(
         jnp.asarray(idxs_ds_np), jnp.asarray(subbas), 0
     )
-    return np.asarray(filled), idxs1
+    return np.asarray(filled), idxs1.astype(idxs_ds_np.dtype)

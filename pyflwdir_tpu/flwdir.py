@@ -76,7 +76,7 @@ class Flwdir(object):
         idxs_ds = np.asarray(idxs_ds)
         if idxs_ds.dtype.kind == "u":
             mv = np.iinfo(idxs_ds.dtype).max
-            signed = np.int64 if idxs_ds.dtype.itemsize > 4 else np.int64
+            signed = np.int64
             idxs_ds = np.where(idxs_ds == mv, -1, idxs_ds.astype(signed))
             if idxs_ds.max() < 2**31 - 1:
                 idxs_ds = idxs_ds.astype(np.int32)

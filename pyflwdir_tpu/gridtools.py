@@ -8,8 +8,6 @@ built (see csrc/), with a python heapq fallback of identical semantics.
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 
 from .utils import geodesy
@@ -39,60 +37,14 @@ def spread2d(obs, msk=None, nodata=0, frc=None, latlon=False, transform=IDENTITY
     """
     try:
         from .runtime import spread2d as _native
-
-        return _native(
-            np.asarray(obs), msk=msk, nodata=nodata, frc=frc, latlon=latlon,
-            transform=transform,
-        )
-    except ImportError:
-        pass
-    return _spread2d_py(obs, msk, nodata, frc, latlon, transform)
-
-
-def _spread2d_py(obs, msk=None, nodata=0, frc=None, latlon=False, transform=IDENTITY):
-    nrow, ncol = obs.shape
-    xres, yres, north = transform[0], abs(transform[4]), transform[5]
-    if latlon:
-        lats = north + (np.arange(nrow) + 0.5) * yres
-        dys = geodesy.degree_metres_y(lats) * yres
-        dxs = geodesy.degree_metres_x(lats) * xres
-    else:
-        dx, dy = xres, yres
-
-    out = obs.copy()
-    src = np.full(obs.shape, -1, dtype=np.int32)
-    dst = np.full(obs.shape, 0, dtype=np.float32)
-
-    q = []
-    for r, c in zip(*np.where(obs != nodata)):
-        if msk is None or msk[r, c]:
-            heapq.heappush(q, (np.float32(0), np.uint32(r), np.uint32(c)))
-        src[r, c] = r * ncol + c
-
-    obs_flat = obs.ravel()
-    while q:
-        d0, r, c = heapq.heappop(q)
-        if dst[r, c] < d0:
-            continue
-        f0 = 1.0 if frc is None else frc[r, c]
-        if latlon:
-            dx, dy = dxs[r], dys[r]
-        for dr in (-1, 0, 1):
-            for dc in (-1, 0, 1):
-                if dr == 0 and dc == 0:
-                    continue
-                r1, c1 = int(r) + dr, int(c) + dc
-                outside = r1 < 0 or r1 >= nrow or c1 < 0 or c1 >= ncol
-                if outside or (msk is not None and not msk[r1, c1]):
-                    continue
-                d = d0 + np.hypot(dr * dy, dc * dx) * f0
-                if src[r1, c1] == -1 or d < dst[r1, c1]:
-                    idx0 = src[r, c]
-                    src[r1, c1] = idx0
-                    dst[r1, c1] = d
-                    out[r1, c1] = obs_flat[idx0]
-                    heapq.heappush(q, (np.float32(d), np.uint32(r1), np.uint32(c1)))
-    return out, src, dst
+    except ImportError as e:
+        raise RuntimeError(
+            "spread2d needs the native host kernels (`make -C csrc`)"
+        ) from e
+    return _native(
+        np.asarray(obs), msk=msk, nodata=nodata, frc=frc, latlon=latlon,
+        transform=transform,
+    )
 
 
 def features(flowpaths, xs=None, ys=None, transform=None, shape=None, **kwargs):

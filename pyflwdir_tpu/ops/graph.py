@@ -32,8 +32,6 @@ with early exit via ``lax.while_loop``.
 from __future__ import annotations
 
 import math
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -528,7 +526,7 @@ def flwdir_tuples(idxs_ds, mask=None):
     return [np.array([i, ids[i]], dtype=ids.dtype) for i in idx0]
 
 
-def idxs_seq(idxs_ds):
+def idxs_seq(idxs_ds, idxs_pit=None):
     """Topological cell ordering, downstream cells first.
 
     Equivalent of reference ``core.idxs_seq`` (core.py:88-117), which BFSs
@@ -536,12 +534,22 @@ def idxs_seq(idxs_ds):
     device :func:`rank` kernel — a stable argsort of distance-to-pit, so
     every cell appears after its downstream neighbor. Loop / missing cells
     are excluded, matching the reference's unreachable-cell behavior.
+
+    ``idxs_pit`` optionally restricts the ordering to cells draining to
+    that pit subset (reference core.py:92 seeds the BFS from the given
+    pits). The permutation is a valid topological order, not the
+    reference's exact BFS order.
     """
     import numpy as np
 
     ids = np.asarray(idxs_ds)
     r = np.asarray(rank(jnp.asarray(ids)))
     valid = r >= 0
+    if idxs_pit is not None:
+        root = np.asarray(roots(jnp.asarray(ids)))
+        sel = np.zeros(ids.size, dtype=bool)
+        sel[np.asarray(idxs_pit)] = True
+        valid = valid & sel[root]
     return np.nonzero(valid)[0][np.argsort(r[valid], kind="stable")].astype(ids.dtype)
 
 

@@ -73,6 +73,22 @@ def classify_estuary(
     return est
 
 
+def _gvf_depth_gradient(h, w, q, nman, s0, eps, g=9.81):
+    """Backwater (gradually-varied-flow) depth gradient -dh/dx for a
+    rectangular channel, vectorized over nodes.
+
+    Friction slope from Manning's equation with hydraulic radius
+    ``wh / (w + 2h)``; denominator from the Froude number. Published GVF
+    form (same physics as reference rivers.py:63-70).
+    """
+    h = np.maximum(h, eps)
+    area = w * h
+    rad = area / (w + 2.0 * h)
+    sf = (nman * q / area) ** 2 * rad ** (-4.0 / 3.0)
+    fr2 = (q / (w * np.sqrt(g * h))) ** 2
+    return (s0 - sf) / (1.0 - fr2)
+
+
 def rivdph_gvf(
     idxs_ds_np,
     rank_np,
@@ -86,42 +102,58 @@ def rivdph_gvf(
     min_rivdph=1,
     eps=1e-1,
     n_iter=2,
+    n_substeps=16,
 ):
-    """Gradually-varied-flow river depth solver (host, experimental).
+    """Gradually-varied-flow river depth (host, experimental).
 
-    Parity: reference ``rivers.rivdph_gvf`` (rivers.py:53-101): per-node
-    RK45 integration of dh/dx from the downstream node's depth, swept
-    down- to upstream, repeated ``n_iter`` times with updated bed levels.
+    Behavioral counterpart of reference ``rivers.rivdph_gvf``
+    (rivers.py:53-101) with a parallel re-design: each node's depth is the
+    downstream-node depth integrated upstream along the reach, so nodes of
+    equal rank are independent — the solver sweeps rank levels (not single
+    cells) and integrates all nodes of a level at once with fixed-step
+    RK4 (``n_substeps`` steps per reach) instead of per-node adaptive
+    scipy calls. Updates with |dh/dx| > 1 or negative depth are rejected,
+    as in the reference. Repeated ``n_iter`` times with updated bed levels.
     """
-    from scipy.integrate import solve_ivp
+    ranks = np.asarray(rank_np)
+    ds = np.asarray(idxs_ds_np)
+    q = np.asarray(qbankfull, dtype=np.float64)
+    w = np.asarray(rivwth, dtype=np.float64)
+    x = np.asarray(rivdst, dtype=np.float64)
+    nman = np.asarray(manning, dtype=np.float64)
+    depth = np.asarray(rivdph, dtype=np.float64).copy()
 
-    def _gvf(x, h, nman, q, s0, w, g=9.81):
-        h = max(h[0] if np.ndim(h) else h, eps)
-        sf = nman**2 * (q / (w * h)) ** 2 * ((w * h) / (2 * h + w)) ** (-4 / 3)
-        fr = q / (w * np.sqrt(g * h))
-        dhdx = (s0 - sf) / (1 - fr**2)
-        return -dhdx
-
-    valid = rank_np >= 0
-    order = np.argsort(rank_np[valid], kind="stable")
-    seq = np.where(valid)[0][order]
-    rivdph_out = np.asarray(rivdph, dtype=np.float64).copy()
-    zb = np.asarray(zs) - rivdph_out
+    live = (ranks >= 1) & (q > 0) & (w > 0) & (ds != np.arange(ds.size))
+    max_rank = int(ranks.max()) if ranks.size else 0
     for _ in range(n_iter):
-        for idx in seq:  # down- to upstream
-            idx_ds = idxs_ds_np[idx]
-            if qbankfull[idx] <= 0 or rivwth[idx] <= 0 or idx == idx_ds:
+        zbed = np.asarray(zs, dtype=np.float64) - depth
+        for r in range(1, max_rank + 1):
+            lvl = np.where(live & (ranks == r))[0]
+            if lvl.size == 0:
                 continue
-            dz = zb[idx] - zb[idx_ds]
-            dx = rivdst[idx] - rivdst[idx_ds]
-            slp = max(min_rivslp, dz / dx)
-            h0 = rivdph_out[idx_ds]
-            args = (manning[idx], qbankfull[idx], slp, rivwth[idx])
-            sol = solve_ivp(_gvf, [0, dx], [h0], method="RK45", args=args)
-            h1 = sol.y[-1][-1]
-            if abs((h1 - h0) / dx) > 1 or h1 < 0 or not sol.success:
-                logger.warning(sol.message)
-            else:
-                rivdph_out[idx] = max(min_rivdph, h1)
-        zb = np.asarray(zs) - rivdph_out
-    return rivdph_out
+            dn = ds[lvl]
+            dx = x[lvl] - x[dn]
+            slp = np.maximum(min_rivslp, (zbed[lvl] - zbed[dn]) / dx)
+            h = depth[dn].copy()
+            step = dx / n_substeps
+            for _k in range(n_substeps):
+                # classic RK4 on dh/ds = +gradient (integrating upstream)
+                k1 = _gvf_depth_gradient(h, w[lvl], q[lvl], nman[lvl], slp, eps)
+                k2 = _gvf_depth_gradient(
+                    h + 0.5 * step * k1, w[lvl], q[lvl], nman[lvl], slp, eps
+                )
+                k3 = _gvf_depth_gradient(
+                    h + 0.5 * step * k2, w[lvl], q[lvl], nman[lvl], slp, eps
+                )
+                k4 = _gvf_depth_gradient(
+                    h + step * k3, w[lvl], q[lvl], nman[lvl], slp, eps
+                )
+                h = h + step / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+            bad = (np.abs((h - depth[dn]) / dx) > 1) | (h < 0) | ~np.isfinite(h)
+            if bad.any():
+                logger.warning(
+                    "gvf: rejecting %d unstable depth updates", int(bad.sum())
+                )
+            upd = lvl[~bad]
+            depth[upd] = np.maximum(min_rivdph, h[~bad])
+    return depth

@@ -279,7 +279,231 @@ if _lib is not None:
         )
         return out
 
+    _I64P = ctypes.POINTER(ctypes.c_int64)
+    _I32P = ctypes.POINTER(ctypes.c_int32)
+    _F64P = ctypes.POINTER(ctypes.c_double)
+    _U8P = ctypes.POINTER(ctypes.c_uint8)
+    _U32P = ctypes.POINTER(ctypes.c_uint32)
+    _I8P = ctypes.POINTER(ctypes.c_int8)
+
+    def _i64(a):
+        return np.ascontiguousarray(a, dtype=np.int64)
+
+    def _mask_arg(mask, n=None):
+        if mask is None:
+            return None, None
+        m = np.ascontiguousarray(mask, dtype=np.uint8).ravel()
+        return m, m.ctypes.data_as(ctypes.c_void_p)
+
+    _lib.ucat_paths_count.restype = None
+    _lib.ucat_paths_count.argtypes = [
+        _I64P, ctypes.c_int64, _I64P, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int32, _I64P, _I64P, _I8P,
+    ]
+    _lib.ucat_paths_fill.restype = None
+    _lib.ucat_paths_fill.argtypes = [
+        _I64P, ctypes.c_int64, _I64P, ctypes.c_int64, _I64P, _I64P,
+    ]
+
+    def channel_paths(nxt, seeds, mask=None, max_len=0, include_outlet=False):
+        """Batched ucat channel walks between outlet pixels (CSR).
+
+        Returns (offsets, data, ends, kinds): offsets is (m+1,), data the
+        concatenated pixel paths, ends the terminating pixel per seed and
+        kinds its classification (0 other, 1 outlet, 2 pit). Same walk
+        semantics as the reference's per-outlet subgrid loops
+        (reference subgrid.py:146-410).
+        """
+        nxt = _i64(nxt)
+        seeds = _i64(seeds)
+        m = seeds.size
+        counts = np.empty(m, dtype=np.int64)
+        ends = np.empty(m, dtype=np.int64)
+        kinds = np.empty(m, dtype=np.int8)
+        _mask_keep, mask_p = _mask_arg(mask)
+        _lib.ucat_paths_count(
+            nxt.ctypes.data_as(_I64P), nxt.size,
+            seeds.ctypes.data_as(_I64P), m, mask_p,
+            int(max_len), int(bool(include_outlet)),
+            counts.ctypes.data_as(_I64P), ends.ctypes.data_as(_I64P),
+            kinds.ctypes.data_as(_I8P),
+        )
+        offsets = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        data = np.empty(int(offsets[-1]), dtype=np.int64)
+        # fill walks only need the pointer chain and per-seed lengths
+        seeds_safe = np.where(seeds < 0, 0, seeds)
+        _lib.ucat_paths_fill(
+            nxt.ctypes.data_as(_I64P), nxt.size,
+            seeds_safe.ctypes.data_as(_I64P), m,
+            offsets.ctypes.data_as(_I64P), data.ctypes.data_as(_I64P),
+        )
+        return offsets, data, ends, kinds
+
+    _lib.stream_segments_count.restype = None
+    _lib.stream_segments_count.argtypes = [
+        _I64P, _I64P, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        _I32P, ctypes.c_int64, _I64P, _I64P,
+    ]
+    _lib.stream_segments_fill.restype = None
+    _lib.stream_segments_fill.argtypes = [
+        _I64P, _I64P, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        _I32P, ctypes.c_int64, _I64P, _I64P,
+    ]
+
+    def stream_segments(nxt, order, nup, mask=None, max_len=0):
+        """Confluence-to-confluence stream reaches (CSR), with over-long
+        reaches chunked and pit stubs appended (reference
+        streams.py:133-188 semantics). Returns (seg_off, data)."""
+        nxt = _i64(nxt)
+        order = _i64(order)
+        nup32 = np.ascontiguousarray(nup, dtype=np.int32)
+        _mask_keep, mask_p = _mask_arg(mask)
+        nseg = np.zeros(1, dtype=np.int64)
+        ndata = np.zeros(1, dtype=np.int64)
+        _lib.stream_segments_count(
+            nxt.ctypes.data_as(_I64P), order.ctypes.data_as(_I64P),
+            order.size, nxt.size, mask_p, nup32.ctypes.data_as(_I32P),
+            int(max_len), nseg.ctypes.data_as(_I64P),
+            ndata.ctypes.data_as(_I64P),
+        )
+        seg_off = np.empty(int(nseg[0]) + 1, dtype=np.int64)
+        data = np.empty(int(ndata[0]), dtype=np.int64)
+        _lib.stream_segments_fill(
+            nxt.ctypes.data_as(_I64P), order.ctypes.data_as(_I64P),
+            order.size, nxt.size, mask_p, nup32.ctypes.data_as(_I32P),
+            int(max_len), seg_off.ctypes.data_as(_I64P),
+            data.ctypes.data_as(_I64P),
+        )
+        return seg_off, data
+
+    _lib.smooth_rivlen_host.restype = None
+    _lib.smooth_rivlen_host.argtypes = [
+        _I64P, _I64P, ctypes.c_int64, _F64P, ctypes.c_double,
+        ctypes.c_int64, ctypes.c_double,
+    ]
+
+    def smooth_rivlen(nxt, us_main, rivlen, min_rivlen, max_window, nodata):
+        """Sequential short-river window smoothing (reference
+        streams.py:319-369 semantics). Returns a new float64 array."""
+        nxt = _i64(nxt)
+        us = _i64(us_main)
+        out = np.ascontiguousarray(rivlen, dtype=np.float64).copy()
+        _lib.smooth_rivlen_host(
+            nxt.ctypes.data_as(_I64P), us.ctypes.data_as(_I64P), nxt.size,
+            out.ctypes.data_as(_F64P), float(min_rivlen), int(max_window),
+            float(nodata),
+        )
+        return out
+
+    _lib.subbasin_area_outlets.restype = ctypes.c_int64
+    _lib.subbasin_area_outlets.argtypes = [
+        _I64P, _I64P, _I64P, ctypes.c_int64, ctypes.c_int64, _F64P,
+        ctypes.c_double, _U32P, _I64P,
+    ]
+
+    def subbasin_area_outlets(nxt, us_main, order, uparea, area_min):
+        """Area-threshold subbasin outlets via the native down->up sweep
+        (reference basins.py:195-233 semantics). Returns (labels, outlets)."""
+        nxt = _i64(nxt)
+        us = _i64(us_main)
+        order = _i64(order)
+        upa = np.ascontiguousarray(uparea, dtype=np.float64)
+        labels = np.zeros(nxt.size, dtype=np.uint32)
+        outlets = np.empty(nxt.size, dtype=np.int64)
+        k = _lib.subbasin_area_outlets(
+            nxt.ctypes.data_as(_I64P), us.ctypes.data_as(_I64P),
+            order.ctypes.data_as(_I64P), order.size, nxt.size,
+            upa.ctypes.data_as(_F64P), float(area_min),
+            labels.ctypes.data_as(_U32P), outlets.ctypes.data_as(_I64P),
+        )
+        return labels, outlets[:k]
+
+    _lib.adjust_elevation_host.restype = None
+    _lib.adjust_elevation_host.argtypes = [
+        _I64P, _I64P, ctypes.c_int64, ctypes.c_int64, _F64P,
+    ]
+    _lib.repair_profile_host.restype = None
+    _lib.repair_profile_host.argtypes = [_F64P, ctypes.c_int64]
+
+    def adjust_elevation(nxt, order, elevtn):
+        """Streamline profile conditioning (reference dem.py:147-225
+        semantics); order = headwater-first processing order."""
+        nxt = _i64(nxt)
+        order = _i64(order)
+        z = np.ascontiguousarray(elevtn, dtype=np.float64).copy()
+        _lib.adjust_elevation_host(
+            nxt.ctypes.data_as(_I64P), order.ctypes.data_as(_I64P),
+            order.size, nxt.size, z.ctypes.data_as(_F64P),
+        )
+        return z
+
+    def repair_profile(profile):
+        """Minimum-modification repair of one up->downstream profile."""
+        z = np.ascontiguousarray(profile, dtype=np.float64).copy()
+        _lib.repair_profile_host(z.ctypes.data_as(_F64P), z.size)
+        return z
+
+    _lib.dig_d4_host.restype = None
+    _lib.dig_d4_host.argtypes = [
+        _I64P, _I64P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_void_p, _F64P, ctypes.c_double,
+        ctypes.c_double,
+    ]
+
+    def dig_d4(nxt, order, shape, elevtn, mask=None, nodata=-9999.0,
+               dz_min=1e-3):
+        """D4-connect diagonal D8 channel links (reference dem.py:405-439
+        semantics)."""
+        nxt = _i64(nxt)
+        order = _i64(order)
+        z = np.ascontiguousarray(elevtn, dtype=np.float64).copy()
+        _mask_keep, mask_p = _mask_arg(mask)
+        _lib.dig_d4_host(
+            nxt.ctypes.data_as(_I64P), order.ctypes.data_as(_I64P),
+            order.size, nxt.size, int(shape[0]), int(shape[1]), mask_p,
+            z.ctypes.data_as(_F64P), float(nodata), float(dz_min),
+        )
+        return z
+
+    _lib.fixed_window_count.restype = None
+    _lib.fixed_window_count.argtypes = [
+        _I64P, _I64P, _F64P, ctypes.c_void_p, _I64P, ctypes.c_int64,
+        ctypes.c_double, _I64P, _I64P,
+    ]
+    _lib.fixed_window_fill.restype = None
+    _lib.fixed_window_fill.argtypes = [_I64P, _I64P, ctypes.c_int64, _I64P, _I64P]
+
+    def fixed_windows(nxt, us_main, distnc, seeds, length, mask=None):
+        """Fixed-length main-stem windows centred on outlet pixels (CSR;
+        reference subgrid.py:488-559 walk semantics)."""
+        nxt = _i64(nxt)
+        us = _i64(us_main)
+        seeds = _i64(seeds)
+        dst = np.ascontiguousarray(distnc, dtype=np.float64)
+        m = seeds.size
+        starts = np.empty(m, dtype=np.int64)
+        counts = np.empty(m, dtype=np.int64)
+        _mask_keep, mask_p = _mask_arg(mask)
+        _lib.fixed_window_count(
+            nxt.ctypes.data_as(_I64P), us.ctypes.data_as(_I64P),
+            dst.ctypes.data_as(_F64P), mask_p, seeds.ctypes.data_as(_I64P),
+            m, float(length), starts.ctypes.data_as(_I64P),
+            counts.ctypes.data_as(_I64P),
+        )
+        offsets = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        data = np.empty(int(offsets[-1]), dtype=np.int64)
+        _lib.fixed_window_fill(
+            us.ctypes.data_as(_I64P), starts.ctypes.data_as(_I64P), m,
+            offsets.ctypes.data_as(_I64P), data.ctypes.data_as(_I64P),
+        )
+        return offsets, data
+
     __all__ = ["priority_flood", "accuflux_sweep", "spread2d",
-               "strahler_order", "classic_order"]
+               "strahler_order", "classic_order", "channel_paths",
+               "stream_segments", "smooth_rivlen", "subbasin_area_outlets",
+               "adjust_elevation", "repair_profile", "dig_d4",
+               "fixed_windows"]
 else:
     __all__ = []

@@ -15,7 +15,6 @@ import jax.numpy as jnp
 
 from .ops import graph
 from .ops.order import classic_order, strahler_order
-from .ops.walk import window_indices
 from .utils import geodesy
 from .utils.affine import IDENTITY
 
@@ -109,40 +108,23 @@ def smooth_rivlen(
 ):
     """Smooth river lengths below ``min_rivlen`` over a growing window.
 
-    Parity: reference ``streams.smooth_rivlen`` (streams.py:319-369). The
-    reference mutates the output while iterating cells in index order, so
-    the result is inherently sequential; the per-cell ±n windows are
-    computed in one batched device pass (:func:`window_indices`), then the
-    few short cells are smoothed exactly on the host in the reference's
-    order.
+    Semantics of reference ``streams.smooth_rivlen`` (streams.py:319-369):
+    the reference mutates the output while iterating cells in index order,
+    so the result is inherently sequential; the sweep runs natively
+    (csrc/network_kernels.cpp::smooth_rivlen_host).
     """
-    n_half = max_window // 2
-    win = np.asarray(window_indices(idxs_ds, idxs_us_main, n_half))  # (2n+1, size)
-    rivlen_out = np.asarray(rivlen).copy()
-    # NB: window writes can also *lower* values, so a cell may become short
-    # mid-loop — iterate all cells in index order exactly as the reference.
-    for idx0 in range(rivlen_out.size):
-        len0 = rivlen_out[idx0]
-        if len0 == nodata or len0 >= min_rivlen:
-            continue
-        len_avg1 = len0
-        idxs1 = None
-        col = win[:, idx0]
-        for i in range(1, n_half):
-            idxs0 = col[n_half - i : n_half + i + 1]
-            idxs0 = idxs0[idxs0 >= 0]
-            idxs0 = idxs0[rivlen_out[idxs0] != nodata]
-            if idxs0.size == 0:
-                continue
-            len_avg0 = float(np.mean(rivlen_out[idxs0]))
-            if len_avg0 > len_avg1:
-                idxs1 = idxs0
-                len_avg1 = len_avg0
-            if len_avg1 > min_rivlen:
-                break
-        if idxs1 is not None and len_avg1 > len0:
-            rivlen_out[idxs1] = len_avg1
-    return rivlen_out
+    from .runtime import smooth_rivlen as _native
+
+    rivlen_np = np.asarray(rivlen)
+    out = _native(
+        np.asarray(idxs_ds),
+        np.asarray(idxs_us_main),
+        rivlen_np,
+        min_rivlen,
+        max_window,
+        nodata,
+    )
+    return out.astype(rivlen_np.dtype)
 
 
 def streams(idxs_ds_np, rank_np, nup_np, mask=None, max_len=0):
@@ -154,46 +136,18 @@ def streams(idxs_ds_np, rank_np, nup_np, mask=None, max_len=0):
     stubs. Segment heads and the processing order are derived from the
     device-computed rank/upstream counts.
     """
-    size = idxs_ds_np.size
-    done = np.zeros(size, dtype=bool)
-    out = []
+    from .runtime import stream_segments as _native
+
     # up- to downstream processing: decreasing rank (stable ties by index)
     valid = rank_np >= 0
     order = np.argsort(-rank_np[valid], kind="stable")
-    idxs_sorted = np.where(valid)[0][order]
-    for idx0 in idxs_sorted:
-        if done[idx0] or (mask is not None and not mask[idx0]):
-            continue
-        idxs = [idx0]
-        while True:
-            done[idx0] = True
-            idx_ds = idxs_ds_np[idx0]
-            pit = idx_ds == idx0
-            if not pit:
-                idxs.append(idx_ds)
-            if nup_np[idx_ds] > 1 or pit:
-                length = len(idxs)
-                if length > max_len > 0:
-                    nseg, k = length, 1
-                    if (length / max_len) > 1.5:
-                        k = round(length / max_len)
-                        nseg = round(length / k)
-                    for i in range(k):
-                        if i + 1 == k:
-                            out.append(
-                                np.array(idxs[i * nseg :], dtype=idxs_ds_np.dtype)
-                            )
-                        else:
-                            out.append(
-                                np.array(
-                                    idxs[i * nseg : nseg * (i + 1) + 1],
-                                    dtype=idxs_ds_np.dtype,
-                                )
-                            )
-                else:
-                    out.append(np.array(idxs, dtype=idxs_ds_np.dtype))
-                if pit:
-                    out.append(np.array([idx_ds, idx_ds], dtype=idxs_ds_np.dtype))
-                break
-            idx0 = idx_ds
-    return out
+    heads = np.where(valid)[0][order]
+    seg_off, data = _native(
+        idxs_ds_np,
+        heads,
+        np.asarray(nup_np),
+        mask=None if mask is None else np.asarray(mask),
+        max_len=max_len,
+    )
+    data = data.astype(idxs_ds_np.dtype)
+    return [data[seg_off[i] : seg_off[i + 1]] for i in range(seg_off.size - 1)]

@@ -14,7 +14,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from . import upscale as upscale_mod
-from .arithmetics import lstsq as _lstsq
 from .ops import graph
 
 __all__ = [
@@ -112,175 +111,149 @@ def ucat_volume(idxs_out, idxs_ds, hand, area, depths=None, mv=_MV):
     return ucat.astype(idxs_ds.dtype), fldpln_vol
 
 
+def _segment_csr(idxs_out, idxs_nxt, mask=None, max_len=0, include_outlet=False):
+    """CSR channel paths per outlet via the native batched walker
+    (csrc/network_kernels.cpp); see runtime.channel_paths."""
+    from .runtime import channel_paths
+
+    return channel_paths(
+        idxs_nxt,
+        np.asarray(idxs_out),
+        mask=None if mask is None else np.asarray(mask),
+        max_len=max_len,
+        include_outlet=include_outlet,
+    )
+
+
+def _ols_slope(n, sx, sy, sxy, sxx):
+    """Vectorized OLS slope from per-segment moment sums (same closed form
+    as :func:`pyflwdir_tpu.arithmetics.lstsq`)."""
+    denom = n * sxx - sx * sx
+    return np.divide(
+        n * sxy - sx * sy, denom, out=np.zeros_like(denom), where=denom != 0
+    )
+
+
 def segment_length(idxs_out, idxs_nxt, distnc, mask=None, nodata=-9999.0, mv=_MV):
     """Channel length per outlet: |distnc| difference between the outlet
     and the walk's end pixel (the next outlet, inclusive).
 
-    Parity: reference subgrid.py:146-205 (lockstep vectorized).
+    Semantics: reference subgrid.py:146-205 (native batched walks).
     """
     idxs_out = np.asarray(idxs_out)
-    is_outlet = np.zeros(idxs_nxt.size, dtype=bool)
-    sel = idxs_out[idxs_out != mv]
-    is_outlet[sel] = True
+    off, data, _, _ = _segment_csr(idxs_out, idxs_nxt, mask, include_outlet=True)
     rivlen = np.full(idxs_out.size, nodata, dtype=distnc.dtype)
-    i0 = np.where(idxs_out != mv)[0]
-    if i0.size == 0:
-        return rivlen
-    start = idxs_out[i0].astype(np.int64)
-    cur = start.copy()
-    active = np.ones(i0.size, dtype=bool)
-    for _ in range(idxs_nxt.size):
-        if not active.any():
-            break
-        ai = np.where(active)[0]
-        nxt = idxs_nxt[cur[ai]].astype(np.int64)
-        invalid = (nxt == mv) | (nxt == cur[ai])
-        if mask is not None:
-            invalid |= ~(mask[np.maximum(nxt, 0)] != 0)
-        step = ~invalid
-        cur[ai[step]] = nxt[step]
-        # stop after stepping onto an outlet (inclusive), or on invalid
-        done = invalid | is_outlet[np.maximum(nxt, 0)] & step
-        active[ai[done]] = False
-    rivlen[i0] = np.abs(distnc[cur] - distnc[start])
+    has = off[1:] > off[:-1]
+    last = data[np.maximum(off[1:] - 1, 0)]
+    first = data[np.minimum(off[:-1], data.size - 1 if data.size else 0)]
+    rivlen[has] = np.abs(distnc[last[has]] - distnc[first[has]])
     return rivlen
-
-
-def _walk_collect(idx0, idxs_nxt, is_outlet, mask=None, mv=_MV, max_len=0):
-    """Host walk from idx0 collecting pixels until the next outlet
-    (exclusive), pit, missing or masked-out pixel (reference
-    subgrid.py:254-267 semantics)."""
-    idxs = [idx0]
-    idx = idx0
-    while True:
-        idx1 = idxs_nxt[idx]
-        if (
-            idx1 == mv
-            or idx1 == idx
-            or is_outlet[idx1]
-            or (mask is not None and not mask[idx1])
-            or (max_len > 0 and len(idxs) == max_len)
-        ):
-            break
-        idxs.append(int(idx1))
-        idx = idx1
-    return idxs
 
 
 def segment_average(idxs_out, idxs_nxt, data, weights, mask=None, nodata=-9999.0, mv=_MV):
     """Weighted mean over each subgrid river segment.
 
-    Parity: reference subgrid.py:208-272.
+    Semantics: reference subgrid.py:208-272 (native walks + vectorized
+    per-segment reductions).
     """
     idxs_out = np.asarray(idxs_out)
-    is_outlet = np.zeros(idxs_nxt.size, dtype=bool)
-    is_outlet[idxs_out[idxs_out != mv]] = True
+    off, pix, _, _ = _segment_csr(idxs_out, idxs_nxt, mask)
     out = np.full(idxs_out.size, nodata, dtype=data.dtype)
     nan = isinstance(nodata, float) and np.isnan(nodata)
-    for i in range(idxs_out.size):
-        idx0 = idxs_out[i]
-        if idx0 == mv:
-            continue
-        idxs = np.asarray(
-            _walk_collect(int(idx0), idxs_nxt, is_outlet, mask=mask, mv=mv)
-        )
-        vals = data[idxs]
-        w = weights[idxs]
-        bad = np.isnan(vals) if nan else (vals == nodata)
-        wsum = w[~bad].sum()
-        if wsum != 0:
-            out[i] = (vals[~bad] * w[~bad]).sum() / wsum
+    counts = np.diff(off)
+    seg = np.repeat(np.arange(idxs_out.size), counts)
+    vals = np.asarray(data)[pix].astype(np.float64)
+    w = np.asarray(weights)[pix].astype(np.float64)
+    good = ~(np.isnan(vals) if nan else (vals == nodata))
+    wsum = np.bincount(seg[good], weights=w[good], minlength=idxs_out.size)
+    vsum = np.bincount(
+        seg[good], weights=(vals * w)[good], minlength=idxs_out.size
+    )
+    ok = (counts > 0) & (wsum != 0)
+    out[ok] = (vsum[ok] / wsum[ok]).astype(data.dtype)
     return out
 
 
 def segment_median(idxs_out, idxs_nxt, data, weights=None, mask=None, nodata=-9999.0, mv=_MV):
-    """Median over each subgrid river segment.
+    """Median over each subgrid river segment (nodata/NaN excluded).
 
-    Parity: reference subgrid.py:276-337.
+    Semantics: reference subgrid.py:276-337 (native walks + one grouped
+    sort instead of per-segment nanmedian calls).
     """
     idxs_out = np.asarray(idxs_out)
-    is_outlet = np.zeros(idxs_nxt.size, dtype=bool)
-    is_outlet[idxs_out[idxs_out != mv]] = True
+    off, pix, _, _ = _segment_csr(idxs_out, idxs_nxt, mask)
     out = np.full(idxs_out.size, nodata, dtype=data.dtype)
-    for i in range(idxs_out.size):
-        idx0 = idxs_out[i]
-        if idx0 == mv:
-            continue
-        idxs = np.asarray(
-            _walk_collect(int(idx0), idxs_nxt, is_outlet, mask=mask, mv=mv)
-        )
-        seg = data[idxs]
-        med = np.nanmedian(np.where(seg == nodata, np.nan, seg))
-        if not np.isnan(med):
-            out[i] = med
+    counts = np.diff(off)
+    seg = np.repeat(np.arange(idxs_out.size), counts)
+    vals = np.asarray(data)[pix].astype(np.float64)
+    good = ~(np.isnan(vals) | (vals == nodata))
+    seg, vals = seg[good], vals[good]
+    if seg.size == 0:
+        return out
+    order = np.lexsort((vals, seg))
+    seg, vals = seg[order], vals[order]
+    k = np.bincount(seg, minlength=idxs_out.size)
+    starts = np.concatenate([[0], np.cumsum(k)[:-1]])
+    ok = k > 0
+    lo = starts[ok] + (k[ok] - 1) // 2
+    hi = starts[ok] + k[ok] // 2
+    out[ok] = ((vals[lo] + vals[hi]) / 2.0).astype(data.dtype)
     return out
 
 
 def segment_indices(idxs_out, idxs_nxt, mask=None, max_len=0, mv=_MV):
     """Linear indices of river segments between outlet pixels.
 
-    Parity: reference subgrid.py:341-410 (incl. zero-length pit stubs).
+    Semantics: reference subgrid.py:341-410 (incl. zero-length pit stubs).
     """
     idxs_out = np.asarray(idxs_out)
-    is_outlet = np.zeros(idxs_nxt.size, dtype=bool)
-    is_outlet[idxs_out[idxs_out != mv]] = True
+    off, pix, ends, kinds = _segment_csr(
+        idxs_out, idxs_nxt, mask, max_len=max_len, include_outlet=True
+    )
+    pix = pix.astype(idxs_nxt.dtype)
     segments = []
     for i in range(idxs_out.size):
-        idx0 = idxs_out[i]
-        if idx0 == mv:
-            continue
-        idxs = [int(idx0)]
-        idx = int(idx0)
-        pit = False
-        while True:
-            idx1 = idxs_nxt[idx]
-            pit = idx1 == idx
-            if (
-                idx1 == mv
-                or pit
-                or (mask is not None and not mask[idx1])
-                or (max_len > 0 and len(idxs) == max_len)
-            ):
-                break
-            idxs.append(int(idx1))
-            if is_outlet[idx1]:  # include next outlet
-                break
-            idx = idx1
-        if len(idxs) > 1:
-            segments.append(np.array(idxs, dtype=idxs_nxt.dtype))
-        if pit:
-            segments.append(np.array([idx1, idx1], dtype=idxs_nxt.dtype))
+        row = pix[off[i] : off[i + 1]]
+        if row.size > 1:
+            segments.append(row)
+        if kinds[i] == 2:  # ended at a pit: zero-length stub
+            segments.append(np.array([ends[i], ends[i]], dtype=idxs_nxt.dtype))
     return segments
 
 
 def segment_slope(
     idxs_out, idxs_nxt, elevtn, distnc, mask=None, nodata=-9999.0, lstsq=True, mv=_MV
 ):
-    """Slope over each subgrid river segment (mean or least squares).
+    """Slope over each subgrid river segment (endpoint or least squares).
 
-    Parity: reference subgrid.py:414-485.
+    Semantics: reference subgrid.py:414-485 (native walks + vectorized
+    per-segment moment sums).
     """
     idxs_out = np.asarray(idxs_out)
-    is_outlet = np.zeros(idxs_nxt.size, dtype=bool)
-    is_outlet[idxs_out[idxs_out != mv]] = True
+    off, pix, _, _ = _segment_csr(idxs_out, idxs_nxt, mask)
     out = np.full(idxs_out.size, nodata, dtype=elevtn.dtype)
-    for i in range(idxs_out.size):
-        idx0 = idxs_out[i]
-        if idx0 == mv:
-            continue
-        idxs = np.asarray(
-            _walk_collect(int(idx0), idxs_nxt, is_outlet, mask=mask, mv=mv)
-        )
-        if idxs.size > 1:
-            if lstsq:
-                slope = float(np.asarray(_lstsq(distnc[idxs], elevtn[idxs])[0]))
-                out[i] = abs(slope)
-            else:
-                dz = elevtn[idxs[0]] - elevtn[idxs[-1]]
-                dx = distnc[idxs[0]] - distnc[idxs[-1]]
-                out[i] = abs(dz / dx)
-        else:
-            out[i] = 0.0
+    counts = np.diff(off)
+    out[counts == 1] = 0.0
+    multi = counts > 1
+    if not multi.any():
+        return out
+    if lstsq:
+        seg = np.repeat(np.arange(idxs_out.size), counts)
+        x = np.asarray(distnc)[pix].astype(np.float64)
+        y = np.asarray(elevtn)[pix].astype(np.float64)
+        m = idxs_out.size
+        sx = np.bincount(seg, weights=x, minlength=m)
+        sy = np.bincount(seg, weights=y, minlength=m)
+        sxy = np.bincount(seg, weights=x * y, minlength=m)
+        sxx = np.bincount(seg, weights=x * x, minlength=m)
+        slope = _ols_slope(counts.astype(np.float64), sx, sy, sxy, sxx)
+        out[multi] = np.abs(slope[multi]).astype(elevtn.dtype)
+    else:
+        first = pix[off[:-1][multi]]
+        last = pix[off[1:][multi] - 1]
+        dz = np.asarray(elevtn)[first] - np.asarray(elevtn)[last]
+        dx = np.asarray(distnc)[first] - np.asarray(distnc)[last]
+        out[multi] = np.abs(dz / dx).astype(elevtn.dtype)
     return out
 
 
@@ -297,36 +270,41 @@ def fixed_length_slope(
 ):
     """Channel slope over a fixed length centred at each outlet pixel.
 
-    Parity: reference subgrid.py:488-559.
+    Semantics: reference subgrid.py:488-559 (native fixed-length window
+    walks + vectorized OLS).
     """
+    from .runtime import fixed_windows
+
     idxs_out = np.asarray(idxs_out)
+    off, pix = fixed_windows(
+        np.asarray(idxs_ds),
+        np.asarray(idxs_us_main),
+        np.asarray(distnc, dtype=np.float64),
+        idxs_out,
+        float(length),
+        mask=None if mask is None else np.asarray(mask),
+    )
     out = np.full(idxs_out.size, -9999.0, dtype=np.float32)
-    for i in range(idxs_out.size):
-        idx0 = idxs_out[i]
-        if idx0 == mv:
-            continue
-        idx0 = int(idx0)
-        x0 = distnc[idx0] - length / 2
-        x1 = distnc[idx0] + length / 2
-        while distnc[idx0] > x0:
-            idx_ds = idxs_ds[idx0]
-            if idx_ds == idx0 or (mask is not None and not mask[idx0]):
-                break
-            idx0 = int(idx_ds)
-        xs = [distnc[idx0]]
-        zs = [elevtn[idx0]]
-        while distnc[idx0] < x1:
-            idx_us = idxs_us_main[idx0]
-            if idx_us == mv or (mask is not None and not mask[idx_us]):
-                break
-            xs.append(distnc[idx_us])
-            zs.append(elevtn[idx_us])
-            idx0 = int(idx_us)
-        if len(xs) >= 2:
-            if lstsq:
-                out[i] = abs(float(np.asarray(_lstsq(np.array(xs), np.array(zs))[0])))
-            else:
-                out[i] = abs((zs[0] - zs[-1]) / (xs[0] - xs[-1]))
-        else:
-            out[i] = 0.0
+    counts = np.diff(off)
+    out[counts == 1] = 0.0
+    multi = counts > 1
+    if not multi.any():
+        return out
+    x = np.asarray(distnc)[pix].astype(np.float64)
+    y = np.asarray(elevtn)[pix].astype(np.float64)
+    if lstsq:
+        seg = np.repeat(np.arange(idxs_out.size), counts)
+        m = idxs_out.size
+        sx = np.bincount(seg, weights=x, minlength=m)
+        sy = np.bincount(seg, weights=y, minlength=m)
+        sxy = np.bincount(seg, weights=x * y, minlength=m)
+        sxx = np.bincount(seg, weights=x * x, minlength=m)
+        slope = _ols_slope(counts.astype(np.float64), sx, sy, sxy, sxx)
+        out[multi] = np.abs(slope[multi]).astype(np.float32)
+    else:
+        first = off[:-1][multi]
+        last = off[1:][multi] - 1
+        out[multi] = np.abs((y[first] - y[last]) / (x[first] - x[last])).astype(
+            np.float32
+        )
     return out

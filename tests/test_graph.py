@@ -15,11 +15,6 @@ from pyflwdir_tpu.ops import graph
 from tests import oracle
 
 
-@pytest.fixture(scope="module")
-def net(request):
-    return None
-
-
 def _parse(d8_grid):
     idxs_ds, idxs_pit, n = d8.from_array(d8_grid)
     return jnp.asarray(idxs_ds), idxs_pit, n

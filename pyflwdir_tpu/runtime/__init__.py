@@ -500,10 +500,86 @@ if _lib is not None:
         )
         return offsets, data
 
+    _DIMS = [ctypes.c_int64] * 6  # nlow, nsub, nrow, ncol, subncol, cellsize
+
+    _lib.ihu_relocate.restype = ctypes.c_int64
+    _lib.ihu_relocate.argtypes = [
+        _I64P, _I64P, _I64P, _F64P, *_DIMS, _I64P, ctypes.c_int64, _I64P,
+    ]
+    _lib.ihu_opt_rivlen.restype = None
+    _lib.ihu_opt_rivlen.argtypes = [
+        _I64P, _I64P, _I32P, _U8P, _I64P, _F64P, *_DIMS, _I64P,
+        ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+    ]
+    _lib.ihu_min_error.restype = None
+    _lib.ihu_min_error.argtypes = [
+        _I64P, _I64P, _I32P, _U8P, _I64P, _F64P, *_DIMS, _I64P,
+        ctypes.c_int64, ctypes.c_double, ctypes.c_double, ctypes.c_int64,
+    ]
+
+    def _ihu_dims(cell_ds, pix_ds, shape, subncol, cellsize):
+        return (
+            cell_ds.size, pix_ds.size, int(shape[0]), int(shape[1]),
+            int(subncol), int(cellsize),
+        )
+
+    def ihu_relocate(cell_ds, cell_out, pix_ds, pix_upa, broken, shape,
+                     subncol, cellsize):
+        """IHU outlet-relocation repair (csrc/upscale_kernels.cpp).
+
+        Mutates ``cell_ds`` / ``cell_out`` in place; ``broken`` must be
+        pre-sorted (ascending outlet uparea). Returns the cells that are
+        still broken. Behavioral spec: reference upscale.py:499-877.
+        """
+        upa = np.ascontiguousarray(pix_upa, dtype=np.float64)
+        broken = _i64(broken)
+        still = np.empty(max(broken.size, 1), dtype=np.int64)
+        k = _lib.ihu_relocate(
+            cell_ds.ctypes.data_as(_I64P), cell_out.ctypes.data_as(_I64P),
+            pix_ds.ctypes.data_as(_I64P), upa.ctypes.data_as(_F64P),
+            *_ihu_dims(cell_ds, pix_ds, shape, subncol, cellsize),
+            broken.ctypes.data_as(_I64P), broken.size,
+            still.ctypes.data_as(_I64P),
+        )
+        return still[:k]
+
+    def ihu_opt_rivlen(cell_ds, cell_out, strm, valid, pix_ds, pix_upa,
+                       shorts, shape, subncol, cellsize, minlen, minupa):
+        """IHU short-reach optimization (csrc/upscale_kernels.cpp); mutates
+        cell_ds/cell_out/strm in place. Spec: reference upscale.py:971-1019."""
+        upa = np.ascontiguousarray(pix_upa, dtype=np.float64)
+        shorts = _i64(shorts)
+        _lib.ihu_opt_rivlen(
+            cell_ds.ctypes.data_as(_I64P), cell_out.ctypes.data_as(_I64P),
+            strm.ctypes.data_as(_I32P), valid.ctypes.data_as(_U8P),
+            pix_ds.ctypes.data_as(_I64P), upa.ctypes.data_as(_F64P),
+            *_ihu_dims(cell_ds, pix_ds, shape, subncol, cellsize),
+            shorts.ctypes.data_as(_I64P), shorts.size,
+            float(minlen), float(minupa),
+        )
+
+    def ihu_min_error(cell_ds, cell_out, strm, valid, pix_ds, pix_upa,
+                      broken, shape, subncol, cellsize, minlen, minupa,
+                      pit_out_of_cell):
+        """IHU upstream-area-error minimization (csrc/upscale_kernels.cpp);
+        mutates in place. ``broken`` pre-sorted by descending outlet uparea.
+        Spec: reference upscale.py:1022-1152."""
+        upa = np.ascontiguousarray(pix_upa, dtype=np.float64)
+        broken = _i64(broken)
+        _lib.ihu_min_error(
+            cell_ds.ctypes.data_as(_I64P), cell_out.ctypes.data_as(_I64P),
+            strm.ctypes.data_as(_I32P), valid.ctypes.data_as(_U8P),
+            pix_ds.ctypes.data_as(_I64P), upa.ctypes.data_as(_F64P),
+            *_ihu_dims(cell_ds, pix_ds, shape, subncol, cellsize),
+            broken.ctypes.data_as(_I64P), broken.size,
+            float(minlen), float(minupa), int(pit_out_of_cell),
+        )
+
     __all__ = ["priority_flood", "accuflux_sweep", "spread2d",
                "strahler_order", "classic_order", "channel_paths",
                "stream_segments", "smooth_rivlen", "subbasin_area_outlets",
                "adjust_elevation", "repair_profile", "dig_d4",
-               "fixed_windows"]
+               "fixed_windows", "ihu_relocate", "ihu_opt_rivlen",
+               "ihu_min_error"]
 else:
     __all__ = []

@@ -431,54 +431,17 @@ def upscale_check(subidxs_out, idxs_ds, subidxs_ds, minlen=0, mv=_MV):
         idx0s[short].astype(t),
     )
 
-
-# -- IHU repair passes (host sequential; small problem sets) ----------------
-
-
-def _upstream_d8_idx(idx0, idxs_ds, shape):
-    """Linear indices of D8 neighbors draining to idx0 (reference
-    core.py:295-304)."""
-    nrow, ncol = shape
-    r, c = idx0 // ncol, idx0 % ncol
-    out = []
-    for dr in (-1, 0, 1):
-        for dc in (-1, 0, 1):
-            if dr == 0 and dc == 0:
-                continue
-            r1, c1 = r + dr, c + dc
-            if 0 <= r1 < nrow and 0 <= c1 < ncol:
-                idx = r1 * ncol + c1
-                if idxs_ds[idx] == idx0:
-                    out.append(idx)
-    return np.array(out, dtype=idxs_ds.dtype)
+# -- IHU repair passes (native host kernels; csrc/upscale_kernels.cpp) -------
+#
+# The relocate / optimize-rivlen / minimize-error passes are sequential
+# mutation-with-rollback sweeps over a small set of problem cells; they run
+# as native kernels built around an explicit edit-log transaction design.
+# The wrappers below own dtype normalization and the NumPy orderings
+# (argsort tie-breaks are part of the observable behavior).
 
 
-def _d8_idx(idx0, shape):
-    """Linear indices of the 8 neighbors (reference core.py:276-291)."""
-    nrow, ncol = shape
-    r, c = idx0 // ncol, idx0 % ncol
-    out = []
-    for dr in (-1, 0, 1):
-        for dc in (-1, 0, 1):
-            if dr == 0 and dc == 0:
-                continue
-            r1, c1 = r + dr, c + dc
-            if 0 <= r1 < nrow and 0 <= c1 < ncol:
-                out.append(r1 * ncol + c1)
-    return np.array(out, dtype=np.int64)
-
-
-def _next_outlet(subidx, subidxs_ds, subidxs_out, subncol, cellsize, ncol):
-    """Walk to the next outlet pixel (reference upscale.py:499-519)."""
-    while True:
-        subidx1 = subidxs_ds[subidx]
-        idx1 = int(subidx_2_idx(subidx1, subncol, cellsize, ncol))
-        outlet = subidx1 == subidxs_out[idx1]
-        pit = subidx1 == subidx
-        if outlet or pit:
-            break
-        subidx = subidx1
-    return subidx1, idx1, outlet
+def _as_i64(a):
+    return np.ascontiguousarray(a, dtype=np.int64)
 
 
 def ihu_relocate_outlets(
@@ -492,359 +455,27 @@ def ihu_relocate_outlets(
     cellsize,
     mv=_MV,
 ):
-    """Relocate outlet pixels to reconnect disconnected cells (host).
+    """Relocate outlet pixels to reconnect disconnected cells.
 
-    Faithful port of reference upscale.py:522-877: for each disconnected
-    cell (ascending outlet uparea): (1) trace downstream collecting
-    alternative outlet pixels, (2) find tributary cells flowing into the
-    trace, (3) find the alternative outlets each tributary can connect to,
-    (4) greedily re-route main and tributary connections along the trace,
-    rolling back on bottlenecks or created loops.
+    Behavioral spec: reference upscale.py:522-877 (trace alternatives,
+    collect tributaries, greedy reconnect with bottleneck rollback); native
+    implementation in csrc/upscale_kernels.cpp::ihu_relocate.
     """
-    _, subncol = subshape
-    _, ncol = shape
+    from .runtime import ihu_relocate as _native
 
     if idxs_fix is None:
-        idxs_fix1 = upscale_error(subidxs_out, idxs_ds, subidxs_ds, mv=mv)[1]
-    else:
-        idxs_fix1 = idxs_fix
-
-    idxs_fix_out = []
-    seq = np.argsort(subuparea[subidxs_out[idxs_fix1]])
-    for i0 in seq:  # @0A
-        nextiter = False
-        idx00 = int(idxs_fix1[i0])
-
-        # STEP 1: downstream trace collecting alternative outlet pixels
-        idxs_lst = []
-        subidxs_lst = []
-        stop = False
-        idx_ds0 = idxs_ds[idx00]
-        subidx = subidxs_ds[subidxs_out[idx00]]
-        idx0 = int(subidx_2_idx(subidx, subncol, cellsize, ncol))
-        while True:  # @1A
-            subidx1 = subidxs_ds[subidx]
-            idx1 = int(subidx_2_idx(subidx1, subncol, cellsize, ncol))
-            pit = subidx1 == subidx
-            if pit or idx0 != idx1:
-                if pit:
-                    stop = True
-                elif subidx == subidxs_out[idx_ds0]:
-                    if idx_ds0 in idxs_lst:
-                        pass
-                    else:
-                        stop = True
-                if idxs_ds[idx0] != mv:
-                    subidxs_lst.append(subidx)
-                    idxs_lst.append(idx0)
-                if subidx == subidxs_out[idx0]:
-                    idx_ds0 = idxs_ds[idx0]
-                idx0 = idx1
-            if stop:
-                break
-            subidx = subidx1
-        if stop and subidx == subidxs_out[idxs_ds[idx00]]:
-            continue  # already fixed
-        elif stop is False:
-            continue  # no successful trace end
-
-        # STEP 2: tributary cells directly upstream of the trace
-        idxs_us_lst = []
-        idxs_ds0 = np.unique(np.array(idxs_lst, dtype=idxs_ds.dtype))
-        for idx_ds in idxs_ds0:  # @2A
-            idxs_us = _upstream_d8_idx(idx_ds, idxs_ds, shape)
-            for iu in idxs_us:
-                if subidxs_out[iu] in subidxs_lst or iu == idx00:
-                    continue
-                idxs_us_lst.append(int(iu))
-
-        # STEP 3: connect tributaries to alternative outlets on the trace
-        noutlets = len(subidxs_lst)
-        idxs_us_conn_lst = []
-        idxs_us_conn_lst1 = []
-        for i in range(len(idxs_us_lst)):  # @3A
-            idx0 = idxs_us_lst[i]
-            subidx = subidxs_out[idx0]
-            connected = False
-            j0, j1 = 0, 0
-            subidx = subidxs_ds[subidx]
-            idx = idx0
-            ii = 0
-            while True and ii <= 10:  # @3B
-                subidx1 = subidxs_ds[subidx]
-                idx1 = int(subidx_2_idx(subidx1, subncol, cellsize, ncol))
-                if subidx == subidx1 or idx != idx1:
-                    if not connected:
-                        ii += 1
-                    for j in range(j0, noutlets):  # @3C
-                        if subidxs_lst[j] == subidx:
-                            if not connected:
-                                j0, j1, connected = j, j, True
-                            elif in_d8(idx0, idx, ncol):
-                                j1 = j
-                            break
-                    if (j1 + 1 == noutlets) or subidx == subidx1:
-                        break
-                subidx = subidx1
-                idx = idx1
-            if connected:
-                idxs_us_conn_lst.append(j0)
-                idxs_us_conn_lst1.append(j1)
-            else:
-                idxs_us_conn_lst.append(noutlets - 1)
-                idxs_us_conn_lst1.append(noutlets - 1)
-        idxs_us_conn = np.array(idxs_us_conn_lst, dtype=idxs_ds.dtype)
-        seq1 = np.argsort(idxs_us_conn)
-        idxs_us0 = np.array(idxs_us_lst, dtype=idxs_ds.dtype)[seq1]
-        subidxs_ds0 = subidxs_out[idxs_ds[idxs_us0]]
-        idxs_us_conn1 = np.array(idxs_us_conn_lst1, dtype=idxs_ds.dtype)[seq1]
-        idxs_us_conn = idxs_us_conn[seq1]
-
-        # STEP 4: connect the dots
-        bottleneck = []
-        nbottlenecks = -1
-        idx0_lst = []
-        idx_ds0_lst = []
-        idx_out_lst = []
-        subidx0_out_lst = []
-        idx_ds_lst = []
-        while len(bottleneck) > nbottlenecks:
-            nextiter = False
-            nbottlenecks = len(bottleneck)
-            subidx0_out_lst = []
-            idx_out_lst = []
-            idx_ds_lst = []
-            idx_ds0_lst = []
-            idx0_lst = []
-            idx0 = idx00
-            j0, k0 = 0, 0
-            for j in range(noutlets):  # @4A
-                if nextiter:
-                    continue
-                subidx_out1 = subidxs_lst[j]
-                idx1 = idxs_lst[j]
-                if idx1 in idx_out_lst or idx1 in bottleneck:
-                    d8 = False
-                else:
-                    d8 = bool(in_d8(idx0, idx1, ncol))
-                ks_bool = np.logical_and(
-                    idxs_us_conn[k0:] >= j0, idxs_us_conn[k0:] <= j
-                )
-                ks = np.where(ks_bool)[0] + k0
-                lats = ks.size > 0
-                nextlats = bool(np.all(idxs_us_conn1[ks] > j)) if lats else False
-                nextd8 = False
-                if subidxs_out[idx1] != subidx_out1:
-                    for jj in range(j + 1, noutlets):
-                        idx = idxs_lst[jj]
-                        if idx in idx_out_lst or idx in bottleneck:
-                            continue
-                        elif in_d8(idx0, idx, ncol):
-                            nextd8 = True
-                        if subidxs_out[idx] == subidxs_lst[jj]:
-                            break
-                nextd8 = nextd8 and subidxs_out[idx1] != subidx_out1
-                if not d8 and not nextd8:
-                    nextiter = True
-                elif (not lats and nextd8) or (nextlats and nextd8):
-                    continue
-                if (d8 and lats) or (d8 and not nextd8):
-                    # update MAIN connection
-                    if idxs_ds[idx0] != idx1:
-                        idx_ds0_lst.append(idxs_ds[idx0])
-                        idx0_lst.append(idx0)
-                        idx_ds_lst.append(idx1)
-                        idxs_ds[idx0] = idx1
-                    if subidx_out1 != subidxs_out[idx1]:
-                        idx_out_lst.append(idx1)
-                        subidx0_out_lst.append(subidxs_out[idx1])
-                        subidxs_out[idx1] = subidx_out1
-                    # update tributary connections
-                    for k in ks:  # @4C
-                        idx0t = int(idxs_us0[k])
-                        if idx0t in idx_out_lst:
-                            continue
-                        subidx_ds0 = subidxs_ds0[k]
-                        subidx = subidxs_out[idx0t]
-                        idx_ds0t = idx0t
-                        path = []
-                        while True:  # @4D
-                            subidx1 = subidxs_ds[subidx]
-                            idx_ds = int(subidx_2_idx(subidx1, subncol, cellsize, ncol))
-                            outlet = subidx1 == subidxs_out[idx_ds]
-                            pit = subidx1 == subidx
-                            idx_ds_edit = idx_ds0t in idx_out_lst
-                            if outlet or pit:
-                                idx_ds0_edit = (
-                                    idx0t in idx0_lst or idxs_ds[idx0t] in idx_out_lst
-                                )
-                                ind8 = bool(in_d8(idx0t, idx_ds, ncol))
-                                if (not ind8 and idx_ds0_edit) or (not outlet and pit):
-                                    nextiter = True
-                                    if idxs_ds[idx0t] not in bottleneck:
-                                        bottleneck.append(idxs_ds[idx0t])
-                                elif ind8 and idxs_ds[idx0t] != idx_ds:
-                                    idx_ds0_lst.append(idxs_ds[idx0t])
-                                    idx0_lst.append(idx0t)
-                                    idx_ds_lst.append(idx_ds)
-                                    idxs_ds[idx0t] = idx_ds
-                                break
-                            elif (
-                                idx_ds0t != idx_ds
-                                and idx_ds0t != idx0t
-                                and subidx_ds0 in path
-                                and not idx_ds_edit
-                                and in_d8(idx0t, idx_ds0t, ncol)
-                            ):
-                                idx_us0 = _upstream_d8_idx(idx_ds0t, idxs_ds, shape)
-                                _, idx_ds00, outlet0 = _next_outlet(
-                                    subidx, subidxs_ds, subidxs_out, subncol,
-                                    cellsize, ncol,
-                                )
-                                idx_ds00_edit = idx_ds00 in idx_out_lst
-                                if (
-                                    idx_us0.size == 0
-                                    and outlet0
-                                    and not idx_ds00_edit
-                                    and idx_ds0t != idx_ds00
-                                    and in_d8(idx_ds0t, idx_ds00, ncol)
-                                ):
-                                    if idxs_ds[idx0t] != idx_ds0t:
-                                        idx_ds0_lst.append(idxs_ds[idx0t])
-                                        idx0_lst.append(idx0t)
-                                        idx_ds_lst.append(idx_ds0t)
-                                        idxs_ds[idx0t] = idx_ds0t
-                                    if idxs_ds[idx_ds0t] != idx_ds00:
-                                        idx_ds0_lst.append(idxs_ds[idx_ds0t])
-                                        idx0_lst.append(idx_ds0t)
-                                        idx_ds_lst.append(idx_ds00)
-                                        idxs_ds[idx_ds0t] = idx_ds00
-                                    if subidx != subidxs_out[idx_ds0t]:
-                                        idx_out_lst.append(idx_ds0t)
-                                        subidx0_out_lst.append(subidxs_out[idx_ds0t])
-                                        subidxs_out[idx_ds0t] = subidx
-                                    break
-                            path.append(subidx1)
-                            subidx = subidx1
-                            idx_ds0t = idx_ds
-                    idx0 = idx1
-                    j0 = j + 1
-                elif not nextiter and lats:
-                    for k in ks:  # @4E
-                        idx_ds0t = idxs_ds[idxs_us0[k]]
-                        lat_ds = idx_ds0t in idxs_lst[j:]
-                        lat_edit = idx_ds0t in idx_out_lst
-                        if not lat_ds and not lat_edit:
-                            k0 = k
-                        else:
-                            break
-
-                # unroll edits
-                if nextiter:
-                    for i in range(len(idx0_lst)):
-                        idxs_ds[idx0_lst[-1 - i]] = idx_ds0_lst[-1 - i]
-                    for i in range(len(idx_out_lst)):
-                        subidxs_out[idx_out_lst[i]] = subidx0_out_lst[i]
-
-        loop = noutlets > 0 and idxs_ds[idx1] in idx_out_lst
-        if loop:
-            nextiter = True
-            for i in range(len(idx0_lst)):
-                idxs_ds[idx0_lst[-1 - i]] = idx_ds0_lst[-1 - i]
-            for i in range(len(idx_out_lst)):
-                subidxs_out[idx_out_lst[i]] = subidx0_out_lst[i]
-
-        if nextiter or loop:
-            idxs_fix_out.append(idx00)
-
-    return idxs_ds, subidxs_out, np.array(idxs_fix_out, dtype=idxs_ds.dtype)
-
-
-def outlet_pix(idx, subidxs_ds, ncol, subncol, cellsize, all=False):
-    """Edge pixels of a lowres cell whose downstream pixel leaves the cell.
-
-    Parity: upscale.py:880-905.
-    """
-    subidxs = []
-    subnrow = int(subidxs_ds.size / subncol)
-    args = (subncol, cellsize, ncol)
-    c_ul = (idx % ncol) * cellsize
-    r_ul = (idx // ncol) * cellsize
-    for ci in range(cellsize):
-        if c_ul + ci >= subncol:
-            continue
-        we_edge = ci == 0 or ci + 1 == cellsize
-        for ri in range(cellsize):
-            if r_ul + ri >= subnrow:
-                continue
-            ns_edge = ri == 0 or ri + 1 == cellsize
-            edge = we_edge or ns_edge
-            subidx = (r_ul + ri) * subncol + c_ul + ci
-            subidx1 = subidxs_ds[subidx]
-            if subidx == subidx1:
-                subidxs.append(subidx)
-            elif edge and (all or int(subidx_2_idx(subidx1, *args)) != idx):
-                subidxs.append(subidx)
-    return subidxs
-
-
-def new_outlet(
-    idx0,
-    subidx0,
-    streams,
-    idxs_ds,
-    subidxs_out,
-    subidxs_ds,
-    subuparea,
-    ncol,
-    subncol,
-    cellsize,
-    minlen=0,
-    minupa=0,
-    mv=_MV,
-    subidx1=None,
-):
-    """Find an alternative outlet pixel for a lowres cell (host).
-
-    Parity: upscale.py:908-968.
-    """
-    path0 = np.full(1, mv, dtype=subidxs_ds.dtype)
-    subidx_out = mv
-    idx_ds = mv
-    upa0 = minupa
-    streams[subidx0] = -1
-    subidxs = outlet_pix(idx0, subidxs_ds, ncol, subncol, cellsize)
-    for i in range(len(subidxs)):
-        subidx = subidxs[i]
-        if streams[subidx] != -9 or subuparea[subidx] <= upa0:
-            continue
-        path = []
-        while True:
-            subidx_ds = subidxs_ds[subidx]
-            path.append(subidx_ds)
-            if streams[subidx_ds] >= 0 or subidx == subidx_ds:
-                break
-            subidx = subidx_ds
-        n = len(path)
-        idx1 = int(subidx_2_idx(subidx_ds, subncol, cellsize, ncol))
-        outlet1 = subidx1 is None or subidx1 == subidx_ds
-        outlet = n > minlen and bool(in_d8(idx0, idx1, ncol)) and idx0 != idx1
-        pit = n == 1 and subidx == path[0] and idx0 == idx1
-        if outlet1 and (outlet or pit):
-            upa0 = subuparea[subidxs[i]]
-            subidx_out = subidxs[i]
-            idx_ds = idx1
-            path0 = np.array(path, dtype=subidxs_ds.dtype)
-
-    if idx_ds != mv:
-        idxs_ds[idx0] = idx_ds
-        subidxs_out[idx0] = subidx_out
-        streams[subidx_out] = idx0
-        for subidx in path0:
-            streams[subidx] = max(streams[subidx], -1)
-    else:
-        streams[subidx0] = idx0  # restore
-    return streams, idxs_ds, subidxs_out, idx_ds != mv
+        idxs_fix = upscale_error(subidxs_out, idxs_ds, subidxs_ds, mv=mv)[1]
+    cell_ds = _as_i64(idxs_ds)
+    cell_out = _as_i64(subidxs_out)
+    broken = _as_i64(idxs_fix)
+    # ascending outlet uparea (NumPy argsort order is part of the contract)
+    broken = broken[np.argsort(np.asarray(subuparea)[cell_out[broken]])]
+    still = _native(
+        cell_ds, cell_out, _as_i64(subidxs_ds), subuparea, broken,
+        shape, subshape[1], cellsize,
+    )
+    t = idxs_ds.dtype
+    return cell_ds.astype(t), cell_out.astype(t), still.astype(t)
 
 
 def ihu_optimize_rivlen(
@@ -862,37 +493,24 @@ def ihu_optimize_rivlen(
     minupa=0,
     mv=_MV,
 ):
-    """Reduce cells with a too-short downstream subgrid length (host).
+    """Reduce cells with a too-short downstream subgrid length.
 
-    Parity: upscale.py:971-1019.
+    Behavioral spec: reference upscale.py:971-1019; native implementation
+    in csrc/upscale_kernels.cpp::ihu_opt_rivlen. Mutates ``streams`` in
+    place (it is reused by the later minimize-error pass).
     """
-    _, subncol = subshape
-    _, ncol = shape
-    args = (subidxs_ds, subuparea, ncol, subncol, cellsize, minlen, minupa, mv)
-    for i in range(len(idxs_short)):
-        for idx0 in [int(idxs_short[i]), int(idxs_ds[idxs_short[i]])]:
-            subidx0 = subidxs_out[idx0]
-            idx1 = idxs_ds[idx0]
-            if idx1 == idx0 or valid[idx1] == False or valid[idx0] == False:  # noqa: E712
-                continue
-            idxs_us = _upstream_d8_idx(idx0, idxs_ds, shape)
-            idxs_us_ind8 = [bool(in_d8(idx, idx1, ncol)) for idx in idxs_us if valid[idx]]
-            if idxs_us.size == 0 or np.all(np.array(idxs_us_ind8, dtype=bool)):
-                streams, idxs_ds, subidxs_out, success = new_outlet(
-                    idx0, subidx0, streams, idxs_ds, subidxs_out, *args
-                )
-                if success:
-                    for idx in idxs_us:
-                        if valid[idx]:
-                            assert idx != idx1
-                            idxs_ds[idx] = idx1
-                        elif idxs_ds[idx0] == idx:  # loop -> undo
-                            streams[subidxs_out[idx0]] = -1
-                            streams[subidx0] = idx0
-                            subidxs_out[idx0] = subidx0
-                            idxs_ds[idx0] = idx1
-                    break
-    return idxs_ds, subidxs_out
+    from .runtime import ihu_opt_rivlen as _native
+
+    cell_ds = _as_i64(idxs_ds)
+    cell_out = _as_i64(subidxs_out)
+    _native(
+        cell_ds, cell_out, streams,
+        np.ascontiguousarray(valid, dtype=np.uint8),
+        _as_i64(subidxs_ds), subuparea, _as_i64(idxs_short),
+        shape, subshape[1], cellsize, minlen, minupa,
+    )
+    t = idxs_ds.dtype
+    return cell_ds.astype(t), cell_out.astype(t)
 
 
 def ihu_minimize_error(
@@ -911,103 +529,26 @@ def ihu_minimize_error(
     pit_out_of_cell=2,
     mv=_MV,
 ):
-    """Minimize cells with upstream-area errors (host).
+    """Minimize cells with upstream-area errors.
 
-    Parity: upscale.py:1022-1152.
+    Behavioral spec: reference upscale.py:1022-1152; native implementation
+    in csrc/upscale_kernels.cpp::ihu_min_error.
     """
-    _, subncol = subshape
-    _, ncol = shape
-    args = (subidxs_ds, subuparea, ncol, subncol, cellsize, minlen, minupa, mv)
+    from .runtime import ihu_min_error as _native
 
-    seq = np.argsort(subuparea[subidxs_out[idxs_fix]])
-    for i0 in seq[::-1]:  # @0A
-        idx0 = int(idxs_fix[i0])
-        fixed = False
-        subidx0 = subidxs_out[idx0]
-        idxs = []
-        subidx = subidx0
-        while True:
-            subidx_ds = subidxs_ds[subidx]
-            if subidx_ds == subidx:
-                break
-            if streams[subidx_ds] >= 0:
-                idx1 = int(streams[subidx_ds])
-                idxs.append(idx1)
-                if len(idxs) == 100 or (len(idxs) == 1 and in_d8(idx0, idx1, ncol)):
-                    break
-            subidx = subidx_ds
-
-        check_pit = pit_out_of_cell > 0 and subidx_ds == subidx
-        if check_pit:
-            idx1 = int(subidx_2_idx(subidx_ds, subncol, cellsize, ncol))
-            dr = int(idx1 % ncol) - int(idx0 % ncol)
-            dc = int(idx1 // ncol) - int(idx0 // ncol)
-            check_pit = abs(dr) <= pit_out_of_cell and abs(dc) <= pit_out_of_cell
-        if check_pit and (subidx_ds == subidx0 or len(idxs) == 0):
-            streams[subidxs_out[idx0]] = -1
-            streams[subidx_ds] = idx0
-            idxs_ds[idx0] = idx0
-            subidxs_out[idx0] = subidx_ds
-            continue
-
-        idxs_d8 = _d8_idx(idx0, shape)
-        if np.all(idxs_ds[idxs_d8] != idx0):
-            streams, idxs_ds, subidxs_out, fixed = new_outlet(
-                idx0, subidx0, streams, idxs_ds, subidxs_out, *args
-            )
-        for _ in range(2):
-            max_dist = 999999
-            max_upa = 0
-            idxs_hw = []
-            if not fixed:
-                for idx1 in idxs_d8:
-                    idx1 = int(idx1)
-                    idx = idx1
-                    upa = subuparea[subidxs_out[idx1]]
-                    hor = abs(idx1 - idx0) == 1
-                    ver = abs(idx1 - idx0) == ncol
-                    for j in range(max_dist + 1):
-                        if idx in idxs:
-                            d0 = idxs.index(idx) + j
-                            if d0 < max_dist or (d0 == max_dist and upa > max_upa):
-                                cross = False
-                                if not (hor or ver):
-                                    dr = (idx1 % ncol) - (idx0 % ncol)
-                                    dc = (idx1 // ncol) - (idx0 // ncol)
-                                    idxh = idx0 + dr
-                                    idxv = idx0 + dc * ncol
-                                    cross = (
-                                        idxs_ds[idxh] == idxv or idxs_ds[idxv] == idxh
-                                    )
-                                if not cross:
-                                    idxs_ds[idx0] = idx1
-                                    assert idx0 != idx1
-                                    max_dist = d0
-                                    max_upa = upa
-                                    fixed = True
-                            break
-                        idx_ds = idxs_ds[idx]
-                        if idx_ds == idx or idx_ds == idx0:
-                            if idx_ds == idx0:
-                                idxs_us = _upstream_d8_idx(idx1, idxs_ds, shape)
-                                if idxs_us.size == 0:
-                                    idxs_hw.append(idx1)
-                            break
-                        idx = idx_ds
-
-            if not fixed and len(idxs_hw) > 0 and len(idxs) > 0:
-                for idx in idxs_hw:
-                    subidx0h = subidxs_out[idx]
-                    subidx1 = subidxs_out[idxs[0]]
-                    args2 = args + (subidx1,)
-                    streams, idxs_ds, subidxs_out, fixed1 = new_outlet(
-                        idx, subidx0h, streams, idxs_ds, subidxs_out, *args2
-                    )
-                    if fixed1:
-                        break
-            else:
-                break
-    return idxs_ds, subidxs_out
+    cell_ds = _as_i64(idxs_ds)
+    cell_out = _as_i64(subidxs_out)
+    broken = _as_i64(idxs_fix)
+    # descending outlet uparea (NumPy argsort order is part of the contract)
+    broken = broken[np.argsort(np.asarray(subuparea)[cell_out[broken]])[::-1]]
+    _native(
+        cell_ds, cell_out, streams,
+        np.ascontiguousarray(valid, dtype=np.uint8),
+        _as_i64(subidxs_ds), subuparea, broken,
+        shape, subshape[1], cellsize, minlen, minupa, pit_out_of_cell,
+    )
+    t = idxs_ds.dtype
+    return cell_ds.astype(t), cell_out.astype(t)
 
 
 def ihu(

@@ -1,14 +1,27 @@
 #!/usr/bin/env python
-"""Benchmark harness: flow accumulation on the Rhine 30" D8 grid.
+"""Benchmark harness: flow accumulation at continental scale.
 
-North-star metric (BASELINE.json): grid-points/s per chip on flow
-accumulation. The TPU kernel is the jitted pointer-doubling accumulation
-(pyflwdir_tpu.ops.graph.accumulate); the baseline is the reference's
-sequential topological sweep (streams.py:37-41) as a native -O3 C++ loop
-(numba-equivalent; the reference itself has no published numbers, see
-BASELINE.md), excluding the topological-ordering precompute for both.
+Two configs, both on the single-chip TPU backend:
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+* **big** (headline): a synthetic 8192 x 8192 (67.1M cell) DEM-derived D8
+  network — the continental-scale regime (BASELINE.json configs 4-5). The
+  kernel is the HBM-scale router accumulation
+  (pyflwdir_tpu.ops.accel_big.BigAccelPlan: three 7-stage static
+  permutation routers + prefix sum; exact int32 accumulation). Reports
+  achieved fraction of HBM speed-of-light from a static bytes-moved
+  account alongside Mgp/s.
+* **rhine**: the reference demo grid (682 x 997), single-chunk fused
+  router kernel (pyflwdir_tpu.ops.accel.AccelPlan).
+
+The CPU baseline for ``vs_baseline`` is the reference's sequential
+topological sweep (streams.py:37-41) as a native -O3 C++ loop
+(numba-equivalent; the reference publishes no numbers, see BASELINE.md),
+measured on the same grid as the headline metric. Plan construction is
+excluded from both sides (the reference caches its ordering `seq` the
+same way, flwdir.py:164-168); expensive plan artifacts are disk-cached
+under ~/.cache/pyflwdir_tpu/bench.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -20,20 +33,29 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+CACHE = os.path.join(
+    os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+    "pyflwdir_tpu",
+    "bench",
+)
+BIG_SIDE = int(os.environ.get("PYFLWDIR_BENCH_SIDE", "8192"))
+HBM_GBPS = float(os.environ.get("PYFLWDIR_BENCH_HBM_GBPS", "819"))  # v5e
 
-def load_rhine():
-    from PIL import Image
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
-    path = "/root/reference/examples/rhine_d8.tif"
-    if os.path.exists(path):
-        return np.array(Image.open(path))
-    # fallback: synthetic DEM-derived grid of the same size
-    from pyflwdir_tpu import dem as dem_mod
 
-    rng = np.random.RandomState(7)
-    z = rng.rand(682, 997).astype(np.float32)
-    z += np.add.outer(np.linspace(2, 0, 682), np.linspace(2, 0, 997))
-    return dem_mod.fill_depressions(z)[1]
+def _maybe_profile(fn, tag):
+    """Write a jax.profiler trace of one timed region when
+    PYFLWDIR_BENCH_PROFILE=<dir> is set (inspect with tensorboard or
+    xprof; SURVEY.md §5 tracing subsystem)."""
+    d = os.environ.get("PYFLWDIR_BENCH_PROFILE")
+    if not d:
+        return
+    import jax
+
+    with jax.profiler.trace(os.path.join(d, tag)):
+        fn()
 
 
 def time_best(fn, n=5):
@@ -45,114 +67,245 @@ def time_best(fn, n=5):
     return best
 
 
+def load_rhine():
+    from PIL import Image
+
+    path = "/root/reference/examples/rhine_d8.tif"
+    if os.path.exists(path):
+        return np.array(Image.open(path))
+    from pyflwdir_tpu import dem as dem_mod
+
+    rng = np.random.RandomState(7)
+    z = rng.rand(682, 997).astype(np.float32)
+    z += np.add.outer(np.linspace(2, 0, 682), np.linspace(2, 0, 997))
+    return dem_mod.fill_depressions(z)[1]
+
+
+def big_d8(side):
+    """Synthetic DEM-derived D8 grid (deterministic), disk-cached."""
+    os.makedirs(CACHE, exist_ok=True)
+    f = os.path.join(CACHE, f"d8_{side}.npy")
+    if os.path.exists(f):
+        return np.load(f)
+    from pyflwdir_tpu import dem as dem_mod
+
+    log(f"generating {side}x{side} DEM + priority flood (cold, one-off)")
+    rng = np.random.RandomState(11)
+    z = rng.rand(side, side).astype(np.float32)
+    z += np.add.outer(
+        np.linspace(4, 0, side), np.linspace(4, 0, side)
+    ).astype(np.float32)
+    t0 = time.time()
+    d8 = dem_mod.fill_depressions(z)[1]
+    log(f"priority flood {time.time() - t0:.1f}s")
+    np.save(f, d8)
+    return d8
+
+
+def big_plan(idxs_ds, side):
+    """DFS + router plan for the big grid, disk-cached."""
+    from pyflwdir_tpu.ops.accel_big import BigAccelPlan
+    from pyflwdir_tpu.ops.plan import DfsPlan, build_plan
+
+    fd = os.path.join(CACHE, f"dfs_{side}.npz")
+    if os.path.exists(fd):
+        z = np.load(fd)
+        dfs = DfsPlan(z["pre"], z["pos"], z["size"], fast=False)
+    else:
+        t0 = time.time()
+        dfs = build_plan(idxs_ds, fast=False)
+        log(f"dfs preorder {time.time() - t0:.1f}s")
+        np.savez(
+            fd, pre=dfs.preorder_np, pos=dfs.pos_np, size=dfs.size_np
+        )
+    fr = os.path.join(CACHE, f"routers_{side}.npz")
+    routers = None
+    if os.path.exists(fr):
+        z = np.load(fr)
+        routers = {"G1": int(z["G1"]), "r_in": tuple(z[f"in{i}"] for i in range(7))}
+        if "far0" in z:
+            routers["r_far"] = tuple(z[f"far{i}"] for i in range(7))
+    t0 = time.time()
+    plan = BigAccelPlan(dfs, idxs_ds, routers=routers)
+    if routers is None:
+        log(f"router coloring {time.time() - t0:.1f}s (cold, one-off)")
+        tabs = plan.router_tables()
+        kw = {f"in{i}": a for i, a in enumerate(tabs["r_in"])}
+        if "r_far" in tabs:
+            kw.update({f"far{i}": a for i, a in enumerate(tabs["r_far"])})
+        np.savez(os.path.join(CACHE, f"routers_{side}.npz"), G1=tabs["G1"], **kw)
+    return plan, dfs
+
+
+def bytes_moved_per_cell(plan):
+    """Static HBM traffic account of one BigAccelPlan.accumulate, bytes per
+    padded cell (4-byte data): per 7-stage router, 7 lane-gather passes
+    (read 4 + idx 1 + write 4) and 6 transposes (read 4 + write 4); plus
+    prefix sum, two near gathers with selects, masks and the final merge."""
+    per_router = 7 * 9 + 6 * 8
+    n_routers = 3 if plan.has_far else 2
+    cumsum = 16           # row cumsum read+write, offsets negligible
+    near = 2 * 9 + 2 * 5  # two selected lane gathers + bool masks
+    merge = 3 * 4 + 2     # outp combine + final where
+    return n_routers * per_router + cumsum + near + merge
+
+
+def bench_big(jax, jnp):
+    from pyflwdir_tpu.codecs import d8 as d8c
+
+    side = BIG_SIDE
+    d8_grid = big_d8(side)
+    idxs_ds, idxs_pit, n_valid = d8c.from_array(d8_grid)
+    n_cells = idxs_ds.size
+    plan, dfs = big_plan(idxs_ds, side)
+
+    data = jnp.ones(n_cells, dtype=jnp.int32)
+
+    @jax.jit
+    def accum(x):
+        return plan.accumulate(x)
+
+    out = accum(data)
+    out.block_until_ready()
+    pit_sum = int(np.asarray(out)[idxs_pit].sum())
+    assert pit_sum == n_valid, f"conservation failed: {pit_sum} != {n_valid}"
+
+    ITERS = 8
+    from jax import lax
+
+    @jax.jit
+    def accum_loop(x):
+        return lax.fori_loop(
+            0, ITERS, lambda i, a: plan.accumulate(data + a * 0), x
+        )
+
+    np.asarray(accum_loop(data)[:1])  # compile + settle
+    # fetching one element forces the full dependency chain to complete
+    # even if the runtime's block_until_ready is asynchronous
+    t = time_best(lambda: np.asarray(accum_loop(data)[:1]), n=3) / ITERS
+    gps = n_cells / t
+    _maybe_profile(lambda: np.asarray(accum_loop(data)[:1]), "big")
+
+    bpc = bytes_moved_per_cell(plan)
+    moved = bpc * plan.n_pad
+    roofline_pct = moved / t / (HBM_GBPS * 1e9) * 100
+    sol_t = 8 * n_cells / (HBM_GBPS * 1e9)  # read+write once at HBM peak
+    return {
+        "side": side,
+        "n_cells": n_cells,
+        "t_s": t,
+        "gps": gps,
+        "bytes_per_cell": bpc,
+        "roofline_pct_of_hbm": roofline_pct,
+        "x_over_speed_of_light": t / sol_t,
+        "idxs_ds": idxs_ds,
+        "idxs_pit": idxs_pit,
+        "n_valid": n_valid,
+        "seq": dfs.preorder_np,  # parents-first topological order
+    }
+
+
+def bench_rhine(jax, jnp):
+    from pyflwdir_tpu.codecs import d8 as d8c
+    from pyflwdir_tpu.ops.accel import build_accel_plan
+    from pyflwdir_tpu.ops.plan import accumulate_planned_fast, build_plan
+
+    rhine = load_rhine()
+    idxs_ds, idxs_pit, n_valid = d8c.from_array(rhine)
+    n_cells = idxs_ds.size
+    plan = build_plan(idxs_ds, fast=False)
+    aplan = build_accel_plan(idxs_ds, plan)
+    data = jnp.ones(n_cells, dtype=jnp.float32)
+    if aplan is not None:
+        _apply = aplan.accumulate
+    else:
+        plan = build_plan(idxs_ds)
+        _apply = lambda x: accumulate_planned_fast(plan, x)
+
+    @jax.jit
+    def accum(x):
+        return _apply(x)
+
+    out = accum(data)
+    out.block_until_ready()
+    pit_sum = float(np.asarray(out)[idxs_pit].sum())
+    assert abs(pit_sum - n_valid) < 1e-3
+
+    ITERS = 50
+    from jax import lax
+
+    @jax.jit
+    def accum_loop(x):
+        return lax.fori_loop(0, ITERS, lambda i, a: _apply(data + a * 1e-30), x)
+
+    np.asarray(accum_loop(data)[:1])
+    t = time_best(lambda: np.asarray(accum_loop(data)[:1]), n=3) / ITERS
+    return {"n_cells": n_cells, "t_s": t, "gps": n_cells / t}
+
+
+def cpu_baseline(idxs_ds, idxs_pit, n_valid, seq, reps=3):
+    """Native sequential topological sweep (reference streams.py:37-41)."""
+    from pyflwdir_tpu.runtime import accuflux_sweep
+
+    ids64 = idxs_ds.astype(np.int64)
+    accu0 = np.ones(idxs_ds.size, dtype=np.float64)
+
+    def run():
+        a = accu0.copy()
+        accuflux_sweep(ids64, seq.astype(np.int64), a)
+        return a
+
+    a = run()
+    assert abs(a[idxs_pit].sum() - n_valid) < 1e-6
+    t = time_best(run, n=reps)
+    return t, idxs_ds.size / t
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
-    from pyflwdir_tpu.codecs import d8 as d8c
-    from pyflwdir_tpu.ops import graph
-    from pyflwdir_tpu.ops.plan import accumulate_planned_fast, build_plan
+    log(f"backend: {jax.default_backend()}")
+    rhine = bench_rhine(jax, jnp)
+    log(f"rhine: {rhine['gps'] / 1e6:.0f} Mgp/s")
+    big = bench_big(jax, jnp)
+    log(
+        f"big {big['side']}^2: {big['gps'] / 1e6:.0f} Mgp/s, "
+        f"{big['roofline_pct_of_hbm']:.0f}% of HBM peak, "
+        f"{big['x_over_speed_of_light']:.1f}x over speed-of-light"
+    )
 
-    rhine = load_rhine()
-    n_cells = rhine.size
-    idxs_ds, idxs_pit, n_valid = d8c.from_array(rhine)
+    t_cpu, gps_cpu = cpu_baseline(
+        big["idxs_ds"], big["idxs_pit"], big["n_valid"], big["seq"], reps=3
+    )
+    log(f"cpu baseline (big): {gps_cpu / 1e6:.0f} Mgp/s ({t_cpu:.2f}s/sweep)")
 
-    # --- TPU kernel: router-accelerated DFS-interval accumulation -------
-    # (ops/accel.py: 4 static-permutation routers + MXU prefix sums).
-    # The plan is precomputed per graph, exactly like the reference
-    # precomputes and caches its topological order `seq`.
-    from pyflwdir_tpu.ops.accel import build_accel_plan
-
-    plan = build_plan(idxs_ds, fast=False)
-    aplan = build_accel_plan(idxs_ds, plan)
-    jds = jnp.asarray(idxs_ds)
-    data = jnp.ones(n_cells, dtype=jnp.float32)
-
-    if aplan is not None:
-        @jax.jit
-        def accum(x):
-            return aplan.accumulate(x)
-    else:
-        plan = build_plan(idxs_ds)
-
-        @jax.jit
-        def accum(x):
-            return accumulate_planned_fast(plan, x)
-
-    out = accum(data)
-    out.block_until_ready()  # compile
-    # correctness gate: mass conservation
-    pit_sum = float(np.asarray(out)[idxs_pit].sum())
-    assert abs(pit_sum - n_valid) < 1e-3, f"conservation failed: {pit_sum} != {n_valid}"
-
-    # steady-state throughput: chain ITERS kernel applications inside one
-    # executable (the per-dispatch latency of the dev-tunnel runtime is not
-    # a property of the kernel; the CPU baseline loop has no such cost)
-    ITERS = 50
-    from jax import lax
-
-    if aplan is not None:
-        _apply = aplan.accumulate
-    else:
-        _apply = lambda x: accumulate_planned_fast(plan, x)
-
-    @jax.jit
-    def accum_loop(x):
-        # each iteration depends on the previous result (not hoistable) but
-        # the epsilon keeps the numerics at accum(data) scale
-        return lax.fori_loop(0, ITERS, lambda i, a: _apply(data + a * 1e-30), x)
-
-    accum_loop(data).block_until_ready()
-    t_loop = time_best(lambda: accum_loop(data).block_until_ready(), n=3)
-    t_tpu = t_loop / ITERS
-    gps_tpu = n_cells / t_tpu
-
-    # --- CPU baseline: native sequential sweep (numba-equivalent) -------
-    vs_baseline = None
-    try:
-        from pyflwdir_tpu.runtime import accuflux_sweep
-
-        rank = np.asarray(graph.rank(jds))
-        valid = rank >= 0
-        seq = np.where(valid)[0][np.argsort(rank[valid], kind="stable")].astype(np.int64)
-        ids64 = idxs_ds.astype(np.int64)
-        accu0 = np.ones(n_cells, dtype=np.float64)
-
-        def run_cpu():
-            a = accu0.copy()
-            accuflux_sweep(ids64, seq, a)
-            return a
-
-        # verify baseline correctness too
-        a = run_cpu()
-        assert abs(a[idxs_pit].sum() - n_valid) < 1e-6
-        t_cpu = time_best(run_cpu, n=5)
-        gps_cpu = n_cells / t_cpu
-        vs_baseline = gps_tpu / gps_cpu
-        baseline_info = {
-            "cpu_native_sweep_s": t_cpu,
-            "cpu_native_gps": gps_cpu,
-            "tpu_s": t_tpu,
-            "tpu_gps": gps_tpu,
-            "grid": list(rhine.shape),
-            "n_valid": int(n_valid),
-            "backend": jax.default_backend(),
-        }
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json"),
-            "w",
-        ) as f:
-            json.dump(baseline_info, f, indent=1)
-    except ImportError:
-        pass
+    info = {
+        "big": {k: v for k, v in big.items() if not isinstance(v, np.ndarray)},
+        "rhine": rhine,
+        "cpu_native_sweep_s_big": t_cpu,
+        "cpu_native_gps_big": gps_cpu,
+        "backend": jax.default_backend(),
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json"),
+        "w",
+    ) as f:
+        json.dump(info, f, indent=1, default=float)
 
     print(
         json.dumps(
             {
-                "metric": "flow-accumulation grid-points/s (Rhine 30\" D8, 682x997)",
-                "value": round(gps_tpu / 1e6, 3),
+                "metric": (
+                    f"flow-accumulation grid-points/s "
+                    f"({BIG_SIDE}x{BIG_SIDE} D8, {big['n_cells'] / 1e6:.0f}M cells)"
+                ),
+                "value": round(big["gps"] / 1e6, 1),
                 "unit": "Mgp/s",
-                "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+                "vs_baseline": round(big["gps"] / gps_cpu, 2),
+                "roofline_pct_of_hbm": round(big["roofline_pct_of_hbm"], 1),
+                "x_over_speed_of_light": round(big["x_over_speed_of_light"], 1),
+                "rhine_mgps": round(rhine["gps"] / 1e6, 1),
             }
         )
     )

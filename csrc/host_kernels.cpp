@@ -362,52 +362,68 @@ void classic_order_host(const int64_t* idxs_ds, const int64_t* preorder,
 // oriented edges get bit 0, right->left bit 1). log2(deg) levels, O(E)
 // work per level.
 // ---------------------------------------------------------------------------
-extern "C" void bipartite_color(const int64_t* u, const int64_t* v, int64_t E,
-                                int64_t nL, int64_t nR, int32_t deg,
-                                int32_t* color) {
+// int32 working set + fused incidence fill keep the (memory-latency-bound)
+// Euler walks cache-friendly; E and nL+nR must stay below 2^31.
+extern "C" void bipartite_color(const int64_t* u64, const int64_t* v64,
+                                int64_t E, int64_t nL, int64_t nR,
+                                int32_t deg, int32_t* color) {
   int levels = 0;
   while ((1 << levels) < deg) ++levels;
-  int64_t nV = nL + nR;
-  std::vector<int32_t> grp(E, 0);
-  std::vector<uint8_t> used(E);
-  std::vector<int64_t> cnt, cur, inc(2 * E);
+  const int32_t nE = (int32_t)E;
+  // key(e) = vertex * ngrp + grp: precompute int32 vertex ids once
+  std::vector<int32_t> uv(nE), vv(nE);
+  for (int32_t e = 0; e < nE; ++e) {
+    uv[e] = (int32_t)u64[e];
+    vv[e] = (int32_t)(nL + v64[e]);
+  }
+  std::vector<int32_t> grp(nE, 0);
+  std::vector<uint8_t> used(nE);
+  const int64_t nV = nL + nR;
+  std::vector<int64_t> cnt;
+  std::vector<int64_t> cur;
+  std::vector<int32_t> inc(2 * (size_t)nE);
   for (int lev = 0; lev < levels; ++lev) {
-    int64_t ngrp = 1LL << lev;
-    int64_t nkey = nV * ngrp;
+    const int64_t ngrp = 1LL << lev;
+    const int64_t nkey = nV * ngrp;
     cnt.assign(nkey + 1, 0);
-    for (int64_t e = 0; e < E; ++e) {
-      cnt[u[e] * ngrp + grp[e] + 1]++;
-      cnt[(nL + v[e]) * ngrp + grp[e] + 1]++;
+    for (int32_t e = 0; e < nE; ++e) {
+      const int64_t g = grp[e];
+      cnt[(int64_t)uv[e] * ngrp + g + 1]++;
+      cnt[(int64_t)vv[e] * ngrp + g + 1]++;
     }
     for (int64_t k = 0; k < nkey; ++k) cnt[k + 1] += cnt[k];
     cur.assign(cnt.begin(), cnt.end() - 1);
-    for (int64_t e = 0; e < E; ++e) {
-      inc[cur[u[e] * ngrp + grp[e]]++] = e;
-      inc[cur[(nL + v[e]) * ngrp + grp[e]]++] = e;
+    for (int32_t e = 0; e < nE; ++e) {
+      const int64_t g = grp[e];
+      inc[cur[(int64_t)uv[e] * ngrp + g]++] = e;
+      inc[cur[(int64_t)vv[e] * ngrp + g]++] = e;
     }
     // reset cursors to bucket starts for the walks
     cur.assign(cnt.begin(), cnt.end() - 1);
     std::fill(used.begin(), used.end(), 0);
-    for (int64_t e0 = 0; e0 < E; ++e0) {
+    for (int32_t e0 = 0; e0 < nE; ++e0) {
       if (used[e0]) continue;
       int64_t g = grp[e0];
-      int64_t w = u[e0];  // start each circuit at the left endpoint
+      int32_t w = uv[e0];  // start each circuit at the left endpoint
+      bool left = true;
       while (true) {
-        int64_t key = w * ngrp + g;
+        const int64_t key = (int64_t)w * ngrp + g;
         int64_t& c = cur[key];
-        while (c < cnt[key + 1] && used[inc[c]]) ++c;
-        if (c >= cnt[key + 1]) break;  // circuit closed (even degrees)
-        int64_t e = inc[c];
+        const int64_t hi = cnt[key + 1];
+        while (c < hi && used[inc[c]]) ++c;
+        if (c >= hi) break;  // circuit closed (even degrees)
+        const int32_t e = inc[c];
         used[e] = 1;
-        if (w < nL) {  // traversing left->right: bit 0
-          grp[e] = (int32_t)(grp[e] * 2);
-          w = nL + v[e];
+        if (left) {  // traversing left->right: bit 0
+          grp[e] = grp[e] * 2;
+          w = vv[e];
         } else {  // right->left: bit 1
-          grp[e] = (int32_t)(grp[e] * 2 + 1);
-          w = u[e];
+          grp[e] = grp[e] * 2 + 1;
+          w = uv[e];
         }
+        left = !left;
       }
     }
   }
-  for (int64_t e = 0; e < E; ++e) color[e] = grp[e];
+  for (int32_t e = 0; e < nE; ++e) color[e] = grp[e];
 }

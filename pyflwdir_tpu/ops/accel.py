@@ -215,10 +215,20 @@ class AccelPlan:
         return res.reshape(-1)[: self.n_cells].astype(dtype)
 
 
-def build_accel_plan(idxs_ds_np, dfs: DfsPlan = None):
-    """Build an :class:`AccelPlan` for a graph; None if unsupported."""
+def build_accel_plan(idxs_ds_np, dfs: DfsPlan = None, routers=None):
+    """Build the router accumulation plan for a graph.
+
+    Returns the single-chunk :class:`AccelPlan` (fully fused Pallas kernel)
+    when the graph fits its constraints, else the HBM-scale
+    :class:`pyflwdir_tpu.ops.accel_big.BigAccelPlan` (tiled 7-stage
+    routers, up to 128 * 2^21 cells), else None.
+    """
     idxs_ds_np = np.asarray(idxs_ds_np)
     if dfs is None:
         dfs = build_plan(idxs_ds_np, fast=False)
     plan = AccelPlan(dfs, idxs_ds_np)
-    return plan if plan.ok else None
+    if plan.ok:
+        return plan
+    from .accel_big import build_big_accel_plan
+
+    return build_big_accel_plan(idxs_ds_np, dfs, routers=routers)

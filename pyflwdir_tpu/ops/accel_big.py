@@ -1,0 +1,301 @@
+"""Router-accelerated flow accumulation beyond the 2^21-cell VMEM chunk.
+
+Same DFS-interval identity as :mod:`pyflwdir_tpu.ops.accel` (subtree sums
+are contiguous-interval differences of one prefix sum over the DFS
+preorder; reference semantics streams.py:37-41), executed at HBM scale:
+
+* the three global data movements (cell->preorder, preorder->cell, and the
+  far-interval value expansion) run on the 7-stage
+  :class:`pyflwdir_tpu.ops.router_big.RouterPlanBig` — tiled Pallas lane
+  gathers + XLA transposes, all streaming passes;
+* the prefix sum is a row cumsum + row-offset broadcast (XLA, one pass);
+* integer inputs accumulate in exact int32 (sums are exact up to 2^31 —
+  past float32's 2^24 integer ceiling, covering continental cell counts);
+  float inputs run in float32 with O(eps * total) absolute error;
+* far intervals (subtree span >= 128) use a dense group expansion: one
+  small XLA gather packs each distinct interval-end prefix value into a
+  group array, a static row-pair gather + 256-wide lane gather broadcasts
+  it to every duplicate, and a final router pass delivers the copies —
+  no per-group alignment constraints, no duplicate-count cap (the small
+  plan's ``dup <= 128`` / block-size limits are gone);
+* the preorder->cell router is derived from the cell->preorder colorings
+  by per-row table inversion (the stage schedule is palindromic), so a
+  plan costs two colored router builds, not four.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .accel import _pad_bijection
+from .plan import DfsPlan, build_plan
+from .router import _S
+from .router_big import RouterPlanBig, lane_gather_tiled
+
+__all__ = ["BigAccelPlan", "build_big_accel_plan"]
+
+_CHUNK = _S * _S * _S  # elements per router chunk (2^21)
+
+
+class BigAccelPlan:
+    """Per-graph device plan for HBM-scale router accumulation.
+
+    ``routers`` optionally supplies prebuilt stage tables (as returned by
+    :meth:`router_tables`) so callers can disk-cache the expensive
+    edge-coloring step; when absent the two colored routers build
+    concurrently (the native colorer releases the GIL).
+    """
+
+    def __init__(self, dfs: DfsPlan, idxs_ds_np, routers=None):
+        pre = dfs.preorder_np.astype(np.int64)
+        pos = dfs.pos_np.astype(np.int64)
+        size = dfs.size_np.astype(np.int64)
+        n_cells = pos.size
+        n_tree = pre.size
+        self.n_cells = n_cells
+        self.n_tree = n_tree
+
+        n_pad = max(n_cells, n_tree, 1)
+        n_pad = -(-n_pad // _CHUNK) * _CHUNK
+        self.ok = n_pad // _CHUNK <= _S
+        if not self.ok:
+            return
+        self.n_pad = n_pad
+        Y = n_pad // _S
+
+        k = np.arange(n_tree, dtype=np.int64)
+        d = size[pre] - 1
+        far = d >= _S
+
+        # cell -> preorder permutation; preorder -> cell is its inverse
+        # (pos inverts pre), derived from the same colorings for free
+        sig_in = _pad_bijection(k, pre, n_pad)
+        sig_far = None
+
+        # near-interval lane gathers (preorder layout): slot k reads
+        # c[k + d] from its own or the next row
+        lane = k % _S
+        near_sel = np.zeros(n_pad, dtype=bool)
+        near_sel[k[~far]] = True
+        idx_near = np.zeros(n_pad, dtype=np.int8)
+        ln = lane + np.where(far, 0, d)
+        idx_near[:n_tree] = (ln % _S).astype(np.int8)
+        sel_next = np.zeros(n_pad, dtype=bool)
+        sel_next[:n_tree] = ln >= _S
+        self.near_sel = jnp.asarray(near_sel.reshape(Y, _S))
+        self.idx_near = jnp.asarray(idx_near.reshape(Y, _S))
+        self.sel_next = jnp.asarray(sel_next.reshape(Y, _S))
+        prev = ((np.arange(n_pad) % _S) - 1) % _S
+        self.idx_prev = jnp.asarray(prev.astype(np.int8).reshape(Y, _S))
+        self.sel_prevrow = jnp.asarray(
+            ((np.arange(n_pad) % _S) == 0).reshape(Y, _S)
+        )
+
+        tree_mask = np.zeros(n_pad, dtype=bool)
+        tree_mask[:n_cells] = pos >= 0
+        self.tree_mask = jnp.asarray(tree_mask.reshape(Y, _S))
+
+        # ---- far intervals: dense group expansion --------------------
+        k_far = k[far]
+        self.has_far = k_far.size > 0
+        if self.has_far:
+            e_far = k_far + d[far]
+            # group far cells by interval end; slots sorted by (end, k)
+            order = np.lexsort((k_far, e_far))
+            k_sorted = k_far[order]
+            e_sorted = e_far[order]
+            uniq_e, inv = np.unique(e_sorted, return_inverse=True)
+            D = uniq_e.size
+            F = k_far.size
+
+            # packed group values come from one small XLA gather of the D
+            # distinct interval-end prefix values (D ~ n/128 elements; the
+            # F copies are delivered by the r_far router, never gathered)
+            d_rows = -(-D // _S)
+            uniq_pad = np.zeros(d_rows * _S, dtype=np.int64)
+            uniq_pad[:D] = uniq_e
+            self.uniq_e = jnp.asarray(uniq_pad.astype(np.int32))
+            self.d_rows = d_rows
+
+            # broadcast: far slot q (holding group inv[q]) reads its value
+            # from the packed group array. Groups covered by one 128-slot
+            # row span < 128 ids, so a static pair of group rows per far
+            # row suffices; bidx indexes into the 256-wide row pair.
+            f_rows = -(-F // _S)
+            g_of_slot = np.zeros(f_rows * _S, dtype=np.int64)
+            g_of_slot[:F] = inv
+            g_of_slot[F:] = inv[-1] if F else 0
+            g2 = g_of_slot.reshape(f_rows, _S)
+            rlo = g2.min(axis=1) // _S
+            self.rlo = jnp.asarray(rlo.astype(np.int32))
+            bidx = g2 - (rlo * _S)[:, None]
+            if bidx.max() >= 2 * _S:
+                raise AssertionError("far group rows span more than a row pair")
+            self.bidx = jnp.asarray(bidx.astype(np.int16))
+            self.f_rows = f_rows
+
+            # R_far: cell pre[k] <- far slot of k
+            sig_far = _pad_bijection(
+                pre[k_sorted], np.arange(F, dtype=np.int64), n_pad
+            )
+            far_cell = np.zeros(n_pad, dtype=bool)
+            far_cell[pre[k_far]] = True
+            self.far_cell = jnp.asarray(far_cell.reshape(Y, _S))
+
+        # build the two colored routers (concurrently unless supplied)
+        if routers is not None:
+            self.r_in = RouterPlanBig(routers["G1"], routers["r_in"])
+            self.r_far = (
+                RouterPlanBig(routers["G1"], routers["r_far"])
+                if self.has_far
+                else None
+            )
+        elif sig_far is not None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(2) as ex:
+                f_in = ex.submit(RouterPlanBig.build, sig_in)
+                f_far = ex.submit(RouterPlanBig.build, sig_far)
+                self.r_in = f_in.result()
+                self.r_far = f_far.result()
+        else:
+            self.r_in = RouterPlanBig.build(sig_in)
+            self.r_far = None
+        self.r_out = self.r_in.inverse()
+
+    def router_tables(self):
+        """Stage tables of the colored routers, for external disk caching."""
+        out = {"G1": np.int64(self.r_in.G1), "r_in": tuple(self.r_in._np)}
+        if self.has_far:
+            out["r_far"] = tuple(self.r_far._np)
+        return out
+
+    # -- device execution --------------------------------------------------
+    def _cumsum(self, xp):
+        """Flat prefix sum of the (Y, 128) array: lane cumsum + row offsets."""
+        c_row = jnp.cumsum(xp, axis=1)
+        t = c_row[:, -1]
+        off = jnp.concatenate([jnp.zeros(1, t.dtype), jnp.cumsum(t)[:-1]])
+        return c_row + off[:, None]
+
+    @staticmethod
+    def _ds_add(a, b):
+        """Double-single (hi, lo) compensated addition (Knuth TwoSum +
+        Dekker renormalization) — associative to ~2^-45, giving
+        float64-equivalent prefix sums on float32 hardware."""
+        ahi, alo = a
+        bhi, blo = b
+        s = ahi + bhi
+        v = s - ahi
+        e = (ahi - (s - v)) + (bhi - v)
+        t = e + alo + blo
+        hi = s + t
+        lo = t - (hi - s)
+        return hi, lo
+
+    def _cumsum_ds(self, xp):
+        """Compensated flat prefix sum: (hi, lo) plane pair."""
+        from jax import lax
+
+        zero = jnp.zeros_like(xp)
+        hi, lo = lax.associative_scan(self._ds_add, (xp, zero), axis=1)
+        th, tl = hi[:, -1], lo[:, -1]
+        oh, ol = lax.associative_scan(self._ds_add, (th, tl), axis=0)
+        oh = jnp.concatenate([jnp.zeros(1, oh.dtype), oh[:-1]])
+        ol = jnp.concatenate([jnp.zeros(1, ol.dtype), ol[:-1]])
+        return self._ds_add((hi, lo), (oh[:, None], ol[:, None]))
+
+    def _gather_pair(self, c):
+        """Near-interval end / start values of the prefix plane ``c``."""
+        zrow = jnp.zeros((1, _S), c.dtype)
+        c_next = jnp.concatenate([c[1:], zrow], axis=0)
+        c_prevrow = jnp.concatenate([zrow, c[:-1]], axis=0)
+        g_near = jnp.where(
+            self.sel_next,
+            lane_gather_tiled(c_next, self.idx_near),
+            lane_gather_tiled(c, self.idx_near),
+        )
+        g_prev = jnp.where(
+            self.sel_prevrow,
+            lane_gather_tiled(c_prevrow, self.idx_prev),
+            lane_gather_tiled(c, self.idx_prev),
+        )
+        return g_near, g_prev
+
+    def _far_values(self, c):
+        """Interval-end prefix values delivered to far cells ((Y, S), to be
+        masked by ``far_cell``): small gather of the distinct ends, static
+        row-pair + lane-gather expansion to duplicates, one router pass."""
+        Y = self.n_pad // _S
+        a = jnp.take(c.reshape(-1), self.uniq_e).reshape(self.d_rows, _S)
+        pair = jnp.concatenate(
+            [jnp.take(a, self.rlo, axis=0),
+             jnp.take(a, jnp.minimum(self.rlo + 1, self.d_rows - 1), axis=0)],
+            axis=1,
+        )
+        w = lane_gather_tiled(pair, self.bidx)  # (f_rows, 128)
+        w_full = jnp.zeros((Y, _S), c.dtype).at[: self.f_rows].set(w)
+        return self.r_far.apply(w_full)
+
+    def accumulate(self, data):
+        """Flow accumulation of ``data`` ((n_cells,) array) on device.
+
+        Tree cells get their subtree sum, off-tree cells pass through.
+        Integer inputs are exact (int32 internal; total must stay below
+        2^31). Float inputs run compensated (double-single prefix sums +
+        plane-wise interval differences): float64-equivalent accuracy on
+        float32 hardware.
+        """
+        Y = self.n_pad // _S
+        dtype = data.dtype
+        is_int = jnp.issubdtype(dtype, jnp.integer) or dtype == jnp.bool_
+        acc = jnp.int32 if is_int else jnp.float32
+        x = jnp.asarray(data).astype(acc)
+        x2 = jnp.concatenate(
+            [x, jnp.zeros(self.n_pad - self.n_cells, acc)]
+        ).reshape(Y, _S)
+
+        xp = self.r_in.apply(x2)
+
+        if is_int:
+            c = self._cumsum(xp)
+            g_near, g_prev = self._gather_pair(c)
+            outp = jnp.where(self.near_sel, g_near, 0) - g_prev
+            out = self.r_out.apply(outp)
+            if self.has_far:
+                out = out + jnp.where(self.far_cell, self._far_values(c), 0)
+        else:
+            # nearby prefix values cancel exactly plane-wise (Sterbenz), so
+            # interval differences collapse safely after subtraction
+            chi, clo = self._cumsum_ds(xp)
+            gn_hi, gp_hi = self._gather_pair(chi)
+            gn_lo, gp_lo = self._gather_pair(clo)
+            # near cells: full collapsed difference; far cells: the -c[k-1]
+            # halves ride per plane so the far +c[e] can cancel first
+            out_hi = self.r_out.apply(
+                jnp.where(self.near_sel, gn_hi - gp_hi, -gp_hi)
+            )
+            out_lo = self.r_out.apply(
+                jnp.where(self.near_sel, gn_lo - gp_lo, -gp_lo)
+            )
+            out = out_hi + out_lo
+            if self.has_far:
+                far = (out_hi + self._far_values(chi)) + (
+                    out_lo + self._far_values(clo)
+                )
+                out = jnp.where(self.far_cell, far, out)
+
+        res = jnp.where(self.tree_mask, out, x2)
+        return res.reshape(-1)[: self.n_cells].astype(dtype)
+
+
+def build_big_accel_plan(idxs_ds_np, dfs: DfsPlan = None, routers=None):
+    """Build a :class:`BigAccelPlan`; None if the graph exceeds 128 * 2^21
+    cells (shard across devices instead, see pyflwdir_tpu.parallel)."""
+    idxs_ds_np = np.asarray(idxs_ds_np)
+    if dfs is None:
+        dfs = build_plan(idxs_ds_np, fast=False)
+    plan = BigAccelPlan(dfs, idxs_ds_np, routers=routers)
+    return plan if plan.ok else None

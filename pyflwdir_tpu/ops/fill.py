@@ -92,7 +92,10 @@ def _sweep(w, dem_eff, fixed, conn8, down=True):
         new = jnp.where(fx, w_row, new)
         return new, (r, new)
 
-    first = jnp.full((ncol,), _INF, w.dtype)
+    # derive the +inf first carry from w so it inherits w's device-varying
+    # axes under shard_map (a fresh constant would be unvarying and fail
+    # the scan carry type check)
+    first = jnp.where(jnp.zeros((ncol,), bool), w[0], jnp.full((), _INF, w.dtype))
     _, (idx, out_rows) = lax.scan(step, first, order)
     # out_rows are in sweep order; restore raster order
     out = jnp.zeros_like(w).at[idx].set(out_rows)
@@ -105,14 +108,25 @@ def fill_depressions_dev(
     outlets="edge",
     idxs_pit=None,
     connectivity=8,
+    max_depth=-1.0,
+    elv_max=None,
     max_rounds=256,
 ):
     """Depression-filled DEM on device (jit-safe after seed construction).
 
     Matches the host priority-flood surface exactly for ``max_depth < 0``
     semantics (fill everything to the pour point). Seeds: valid edge cells
-    (``outlets='edge'``), the single lowest edge cell (``'min'``) or user
-    pits.
+    (``outlets='edge'``, optionally restricted to ``dem <= elv_max``), the
+    single lowest edge cell (``'min'``) or user pits.
+
+    ``max_depth >= 0`` caps the fill depth: cells whose fill would reach
+    ``max_depth`` stay at their own elevation and become interior pits
+    (outer fixpoint: refill with the depth-exceeding cells added as
+    seeds until none remain). The *surface* cap matches the reference's
+    intent (dem.py:121-131); the exact set of interior pits may differ
+    from the heap-ordered host kernel on multi-pour-point depressions
+    (the host keeps the first-flooded deep cell, this kernel every
+    depth-exceeding cell).
     """
     from ..dem import get_edge
 
@@ -127,6 +141,10 @@ def fill_depressions_dev(
         seeds.flat[np.atleast_1d(idxs_pit)] = True
     else:
         seeds = get_edge(~bad, structure=struct)
+        if elv_max is not None:
+            seeds = np.logical_and(seeds, dem <= elv_max)
+            if not np.any(seeds):
+                raise ValueError("No initial outlet cells found.")
         if outlets == "min":
             zb = np.where(seeds, dem, np.inf).astype(np.float32)
             i = np.unravel_index(np.argmin(zb), dem.shape)
@@ -138,20 +156,40 @@ def fill_depressions_dev(
     bad_j = jnp.asarray(bad)
     conn8 = connectivity == 8
 
-    w0 = jnp.where(seeds_j, dem_j, _INF)
-    fixed = seeds_j | bad_j
+    def erode(seeds_now):
+        w0 = jnp.where(seeds_now, dem_j, _INF)
+        fixed = seeds_now | bad_j
 
-    def cond(state):
-        i, w, changed = state
-        return (i < max_rounds) & changed
+        def cond(state):
+            i, w, changed = state
+            return (i < max_rounds) & changed
 
-    def body(state):
-        i, w, _ = state
-        w1 = _sweep(w, dem_j, fixed, conn8, down=True)
-        w2 = _sweep(w1, dem_j, fixed, conn8, down=False)
-        return i + 1, w2, jnp.any(w2 != w)
+        def body(state):
+            i, w, _ = state
+            w1 = _sweep(w, dem_j, fixed, conn8, down=True)
+            w2 = _sweep(w1, dem_j, fixed, conn8, down=False)
+            return i + 1, w2, jnp.any(w2 != w)
 
-    _, w, _ = lax.while_loop(cond, body, (0, w0, jnp.asarray(True)))
+        _, w, _ = lax.while_loop(cond, body, (0, w0, jnp.asarray(True)))
+        return w
+
+    if max_depth >= 0:
+        # depth-capped fill: depth-exceeding cells stay pits; their
+        # depression then drains to them instead of filling
+        def cond(state):
+            i, seeds_now, w, new_deep = state
+            return (i < max_rounds) & new_deep
+
+        def body(state):
+            i, seeds_now, _, _ = state
+            w = erode(seeds_now)
+            deep = ~seeds_now & ~bad_j & (w - dem_j >= max_depth)
+            return i + 1, seeds_now | deep, w, jnp.any(deep)
+
+        state = (0, seeds_j, dem_j, jnp.asarray(True))
+        _, _, w, _ = lax.while_loop(cond, body, state)
+    else:
+        w = erode(seeds_j)
     filled = jnp.where(bad_j, nodata, w)
     return filled
 

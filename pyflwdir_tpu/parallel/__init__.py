@@ -1,5 +1,19 @@
 """Multi-device domain-decomposition runtime (mesh, tiled kernels)."""
 
-from .tiled import make_mesh, pad_to_tiles, tiled_accumulate
+from .tiled import (
+    make_mesh,
+    pad_to_tiles,
+    tiled_accumulate,
+    tiled_basins,
+    tiled_fill,
+    tiled_rank,
+)
 
-__all__ = ["make_mesh", "pad_to_tiles", "tiled_accumulate"]
+__all__ = [
+    "make_mesh",
+    "pad_to_tiles",
+    "tiled_accumulate",
+    "tiled_basins",
+    "tiled_fill",
+    "tiled_rank",
+]

@@ -25,10 +25,17 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.graph import _subtree_reduce
+from ..ops.graph import _subtree_reduce, path_sum, reach
 from ..ops.stencil import local_pointers
 
-__all__ = ["make_mesh", "tiled_accumulate", "pad_to_tiles"]
+__all__ = [
+    "make_mesh",
+    "pad_to_tiles",
+    "tiled_accumulate",
+    "tiled_rank",
+    "tiled_basins",
+    "tiled_fill",
+]
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -103,13 +110,37 @@ def _exchange_halo(out_pad, ty_axis="ty", tx_axis="tx"):
     return buf[1:-1, 1:-1]
 
 
-def _tile_step(codes, data, max_rounds):
-    """Per-shard body: local accumulate + iterated cross-tile injection."""
-    th, tw = codes.shape
-    local_ds, exit_dr, exit_dc, valid = local_pointers(codes)
-    # cells whose raw code points off the global grid are pits after
-    # parsing (codecs.d8.from_array) — kill their exits so the flow stays
-    # put instead of riding the cyclic ppermute around the mesh
+def _gather_halo(v2d, fill):
+    """(th+2, tw+2) buffer of ``v2d`` framed by the 8 neighbors' edge
+    values (corners via two hops); mesh-boundary halo entries get ``fill``.
+    """
+    th, tw = v2d.shape
+    nty = lax.axis_size("ty")
+    ntx = lax.axis_size("tx")
+    ti = lax.axis_index("ty")
+    tj = lax.axis_index("tx")
+    up = [(i, (i - 1) % nty) for i in range(nty)]
+    down = [(i, (i + 1) % nty) for i in range(nty)]
+    left = [(i, (i - 1) % ntx) for i in range(ntx)]
+    right = [(i, (i + 1) % ntx) for i in range(ntx)]
+
+    buf = jnp.full((th + 2, tw + 2), fill, v2d.dtype).at[1:-1, 1:-1].set(v2d)
+    # rows: my halo row 0 is the above tile's bottom interior row
+    from_above = lax.ppermute(buf[-2:-1, :], "ty", down)
+    from_below = lax.ppermute(buf[1:2, :], "ty", up)
+    buf = buf.at[0:1, :].set(jnp.where(ti == 0, fill, from_above))
+    buf = buf.at[-1:, :].set(jnp.where(ti == nty - 1, fill, from_below))
+    # columns of the updated buffer (corners ride two hops)
+    from_left = lax.ppermute(buf[:, -2:-1], "tx", right)
+    from_right = lax.ppermute(buf[:, 1:2], "tx", left)
+    buf = buf.at[:, 0:1].set(jnp.where(tj == 0, fill, from_left))
+    buf = buf.at[:, -1:].set(jnp.where(tj == ntx - 1, fill, from_right))
+    return buf
+
+
+def _kill_off_grid_exits(exit_dr, exit_dc, th, tw):
+    """Zero the exit steps of cells whose flow leaves the global grid
+    (they parse as pits in codecs.d8.from_array)."""
     ti = lax.axis_index("ty")
     tj = lax.axis_index("tx")
     nty = lax.axis_size("ty")
@@ -122,8 +153,144 @@ def _tile_step(codes, data, max_rounds):
         | ((tj == 0) & (c == 0) & (exit_dc < 0))
         | ((tj == ntx - 1) & (c == tw - 1) & (exit_dc > 0))
     )
-    exit_dr = jnp.where(off_grid, 0, exit_dr)
-    exit_dc = jnp.where(off_grid, 0, exit_dc)
+    return jnp.where(off_grid, 0, exit_dr), jnp.where(off_grid, 0, exit_dc)
+
+
+def _psum2(x):
+    return lax.psum(lax.psum(x, "ty"), "tx")
+
+
+def _fixpoint_step(codes, seed, mode, max_rounds):
+    """Per-shard body of the cross-tile pointer fixpoint (rank / labels).
+
+    Each cell's value depends only on its *local terminal* (the last
+    in-tile cell on its path, precomputed once by tile-local pointer
+    doubling) plus the value just across the tile boundary; rounds
+    exchange boundary values until a global fixpoint — one round per
+    tile crossing of the longest path.
+    """
+    th, tw = codes.shape
+    local_ds, exit_dr, exit_dc, valid = local_pointers(codes)
+    exit_dr, exit_dc = _kill_off_grid_exits(exit_dr, exit_dc, th, tw)
+    vflat = valid.ravel()
+
+    term = reach(local_ds, None)
+    dist = path_sum(local_ds, jnp.ones(th * tw, jnp.int32))
+    true_root = local_ds[term] == term  # genuine pit/exit (not a cycle)
+    t_dr = exit_dr.ravel()[term]
+    t_dc = exit_dc.ravel()[term]
+    leaves = (t_dr != 0) | (t_dc != 0)
+    pit_term = vflat & true_root & ~leaves
+    exit_term = vflat & true_root & leaves
+    term_r = term // tw + 1 + t_dr
+    term_c = term % tw + 1 + t_dc
+
+    if mode == "rank":
+        v0 = jnp.where(pit_term, dist, -1).astype(jnp.int32)
+        unset = jnp.asarray(-1, jnp.int32)
+    else:
+        v0 = jnp.where(pit_term, seed.ravel()[term], 0).astype(jnp.int32)
+        unset = jnp.asarray(0, jnp.int32)
+
+    def body(state):
+        i, v, _ = state
+        halo = _gather_halo(v.reshape(th, tw), unset)
+        tv = halo[term_r, term_c]
+        if mode == "rank":
+            v_new = jnp.where(exit_term & (v < 0) & (tv >= 0), dist + 1 + tv, v)
+        else:
+            v_new = jnp.where(exit_term & (v == 0) & (tv > 0), tv, v)
+        v_new = v_new.astype(jnp.int32)
+        changed = _psum2(jnp.sum(v_new != v, dtype=jnp.int32))
+        return i + 1, v_new, changed
+
+    def cond(state):
+        i, _, changed = state
+        return (i < max_rounds) & (changed > 0)
+
+    _, v, changed = lax.while_loop(cond, body, (0, v0, jnp.asarray(1, jnp.int32)))
+    if mode == "rank":
+        v = jnp.where(vflat, v, -9999)
+    stalled = (changed > 0).astype(jnp.int32).reshape(1, 1)
+    return v.reshape(th, tw), stalled
+
+
+def _run_sharded(mesh, fn, *arrays, n_out=2):
+    specs = tuple(P("ty", "tx") for _ in arrays)
+    out_specs = tuple(P("ty", "tx") for _ in range(n_out))
+    f = jax.jit(
+        jax.shard_map(fn, mesh=mesh, in_specs=specs, out_specs=out_specs)
+    )
+    sharding = NamedSharding(mesh, P("ty", "tx"))
+    return f(*(jax.device_put(jnp.asarray(a), sharding) for a in arrays))
+
+
+def _check_converged(stalled, what):
+    if int(np.asarray(stalled).sum()) > 0:
+        raise RuntimeError(
+            f"tiled {what} did not converge within max_rounds — raise "
+            "max_rounds, or the network has cross-tile cycles"
+        )
+
+
+def tiled_rank(codes: np.ndarray, mesh: Mesh, max_rounds: int | None = None):
+    """Distance-to-pit over a D8 code raster sharded over ``mesh``.
+
+    Matches :func:`pyflwdir_tpu.ops.graph.rank` (loops -1, missing -9999).
+    Raises if the cross-tile fixpoint hits ``max_rounds`` while still
+    changing.
+    """
+    nrow0, ncol0 = codes.shape
+    codes_p = pad_to_tiles(np.asarray(codes), mesh, fill=247)
+    if max_rounds is None:
+        max_rounds = int(codes_p.size)  # backstop; loop exits at fixpoint
+    out, stalled = _run_sharded(
+        mesh,
+        partial(_fixpoint_step, seed=None, mode="rank", max_rounds=max_rounds),
+        codes_p,
+    )
+    _check_converged(stalled, "rank")
+    return np.asarray(out)[:nrow0, :ncol0]
+
+
+def tiled_basins(
+    codes: np.ndarray,
+    idxs_pit: np.ndarray,
+    mesh: Mesh,
+    ids: np.ndarray | None = None,
+    max_rounds: int | None = None,
+):
+    """Basin labels over a D8 code raster sharded over ``mesh``.
+
+    Matches :func:`pyflwdir_tpu.basins.basins`: pits seeded with 1-based
+    ``ids`` (or their ordinal), every cell labeled with its outlet's id,
+    cells not reaching a seeded pit 0.
+    """
+    nrow0, ncol0 = codes.shape
+    codes_p = pad_to_tiles(np.asarray(codes), mesh, fill=247)
+    seed = np.zeros(codes_p.shape, dtype=np.int32)
+    if ids is None:
+        ids = np.arange(1, np.atleast_1d(idxs_pit).size + 1, dtype=np.int32)
+    rr, cc = np.unravel_index(np.atleast_1d(idxs_pit), (nrow0, ncol0))
+    seed[rr, cc] = ids
+    if max_rounds is None:
+        max_rounds = int(codes_p.size)
+    def step(codes, seed):
+        return _fixpoint_step(codes, seed, mode="label", max_rounds=max_rounds)
+
+    out, stalled = _run_sharded(mesh, step, codes_p, seed)
+    _check_converged(stalled, "basins")
+    return np.asarray(out)[:nrow0, :ncol0]
+
+
+def _tile_step(codes, data, max_rounds):
+    """Per-shard body: local accumulate + iterated cross-tile injection."""
+    th, tw = codes.shape
+    local_ds, exit_dr, exit_dc, valid = local_pointers(codes)
+    # cells whose raw code points off the global grid are pits after
+    # parsing (codecs.d8.from_array) — kill their exits so the flow stays
+    # put instead of riding the cyclic ppermute around the mesh
+    exit_dr, exit_dc = _kill_off_grid_exits(exit_dr, exit_dc, th, tw)
     dflat = jnp.where(valid.ravel(), data.ravel(), 0).astype(data.dtype)
     accu = _local_accumulate(local_ds, dflat)
 
@@ -145,13 +312,12 @@ def _tile_step(codes, data, max_rounds):
 
     is_exit = (exit_dr != 0) | (exit_dc != 0)
 
+    def pending_of(inject_flow):
+        return _psum2(jnp.sum(jnp.abs(jnp.where(is_exit, inject_flow, 0))))
+
     def cond(state):
         i, total, inject_flow = state
-        pending = lax.psum(
-            lax.psum(jnp.sum(jnp.abs(jnp.where(is_exit, inject_flow, 0))), "ty"),
-            "tx",
-        )
-        return (i < max_rounds) & (pending > 0)
+        return (i < max_rounds) & (pending_of(inject_flow) > 0)
 
     def body(state):
         i, total, inject_flow = state
@@ -164,8 +330,9 @@ def _tile_step(codes, data, max_rounds):
         return i + 1, total, inj_acc.reshape(th, tw)
 
     state = (0, accu, accu.reshape(th, tw))
-    _, total, _ = lax.while_loop(cond, body, state)
-    return jnp.where(valid, total.reshape(th, tw), data)
+    _, total, inject_flow = lax.while_loop(cond, body, state)
+    stalled = (pending_of(inject_flow) > 0).astype(jnp.int32).reshape(1, 1)
+    return jnp.where(valid, total.reshape(th, tw), data), stalled
 
 
 def tiled_accumulate(
@@ -180,26 +347,102 @@ def tiled_accumulate(
     Matches :func:`pyflwdir_tpu.ops.graph.accumulate` on the parsed graph
     (no-nodata case); the input is padded to the mesh tiling.
     """
-    ty, tx = mesh.devices.shape
     nrow0, ncol0 = codes.shape
     codes_p = pad_to_tiles(np.asarray(codes), mesh, fill=247)
     data_p = pad_to_tiles(np.asarray(data, dtype=np.float32), mesh, fill=0.0)
     if max_rounds is None:
-        # worst case: a path can cross tile boundaries many times; bound by
-        # the number of cells on the longest possible path across tiles
-        max_rounds = 4 * (ty + tx)
+        # a serpentine path can cross a tile boundary on every step, so
+        # the only safe a-priori bound is the cell count; the fixpoint
+        # exits as soon as no flow is in flight (psum of pending == 0)
+        max_rounds = int(codes_p.size)
 
-    sharding = NamedSharding(mesh, P("ty", "tx"))
-    codes_d = jax.device_put(jnp.asarray(codes_p), sharding)
-    data_d = jax.device_put(jnp.asarray(data_p), sharding)
-
-    fn = jax.jit(
-        jax.shard_map(
-            partial(_tile_step, max_rounds=max_rounds),
-            mesh=mesh,
-            in_specs=(P("ty", "tx"), P("ty", "tx")),
-            out_specs=P("ty", "tx"),
-        )
+    out, stalled = _run_sharded(
+        mesh, partial(_tile_step, max_rounds=max_rounds), codes_p, data_p
     )
-    out = fn(codes_d, data_d)
+    _check_converged(stalled, "accumulation")
     return np.asarray(out)[:nrow0, :ncol0]
+
+
+def tiled_fill(
+    dem: np.ndarray,
+    mesh: Mesh,
+    nodata=-9999.0,
+    outlets="edge",
+    idxs_pit=None,
+    connectivity=8,
+    max_rounds: int | None = None,
+):
+    """Depression filling over a DEM sharded over ``mesh``.
+
+    Morphological reconstruction by erosion (the device fill of
+    :mod:`pyflwdir_tpu.ops.fill`) with per-round 8-neighbor halo exchange:
+    each round runs one local down+up sweep pair against the neighbors'
+    current surface and iterates to the global fixpoint. Matches the host
+    priority-flood surface (max_depth < 0 semantics).
+    """
+    from ..dem import get_edge
+    from ..ops.fill import _sweep
+
+    dem = np.asarray(dem)
+    nrow0, ncol0 = dem.shape
+    nan = isinstance(nodata, float) and np.isnan(nodata)
+    bad = np.isnan(dem) if nan else dem == nodata
+    struct = np.ones((3, 3), dtype=bool)
+    if connectivity == 4:
+        struct[0, 0] = struct[-1, -1] = struct[0, -1] = struct[-1, 0] = False
+    if idxs_pit is not None:
+        seeds = np.zeros(dem.shape, bool)
+        seeds.flat[np.atleast_1d(idxs_pit)] = True
+    else:
+        seeds = get_edge(~bad, structure=struct)
+        if outlets == "min":
+            zb = np.where(seeds, dem, np.inf).astype(np.float32)
+            i = np.unravel_index(np.argmin(zb), dem.shape)
+            seeds = np.zeros(dem.shape, bool)
+            seeds[i] = True
+
+    dem_eff = np.where(bad, np.inf, dem).astype(np.float32)
+    dem_p = pad_to_tiles(dem_eff, mesh, fill=np.inf)
+    seeds_p = pad_to_tiles(seeds, mesh, fill=False)
+    bad_p = pad_to_tiles(bad, mesh, fill=True)
+    if max_rounds is None:
+        max_rounds = int(np.sum(mesh.devices.shape) * 16 + 64)
+    conn8 = connectivity == 8
+
+    def step(dem_t, seeds_t, bad_t):
+        th, tw = dem_t.shape
+        fixed = seeds_t | bad_t
+        w0 = jnp.where(seeds_t, dem_t, jnp.inf)
+
+        def one_round(w):
+            halo = _gather_halo(w, jnp.inf)
+            dem_pad = jnp.pad(dem_t, 1, constant_values=jnp.inf)
+            fix_pad = jnp.pad(fixed, 1, constant_values=True)
+            # halo cells act as fixed boundary conditions at the
+            # neighbors' current surface
+            wp = halo.at[1:-1, 1:-1].set(w)
+            dem_pad = dem_pad.at[0, :].set(halo[0, :]).at[-1, :].set(halo[-1, :])
+            dem_pad = dem_pad.at[:, 0].set(halo[:, 0]).at[:, -1].set(halo[:, -1])
+            w1 = _sweep(wp, dem_pad, fix_pad, conn8, down=True)
+            w2 = _sweep(w1, dem_pad, fix_pad, conn8, down=False)
+            return w2[1:-1, 1:-1]
+
+        def body(state):
+            i, w, _ = state
+            w_new = one_round(w)
+            changed = _psum2(jnp.sum(w_new != w, dtype=jnp.int32))
+            return i + 1, w_new, changed
+
+        def cond(state):
+            i, _, changed = state
+            return (i < max_rounds) & (changed > 0)
+
+        _, w, changed = lax.while_loop(
+            cond, body, (0, w0, jnp.asarray(1, jnp.int32))
+        )
+        filled = jnp.where(bad_t, nodata, w)
+        return filled, (changed > 0).astype(jnp.int32).reshape(1, 1)
+
+    out, stalled = _run_sharded(mesh, step, dem_p, seeds_p, bad_p)
+    _check_converged(stalled, "fill")
+    return np.asarray(out)[:nrow0, :ncol0].astype(dem.dtype)

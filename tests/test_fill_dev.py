@@ -64,3 +64,30 @@ def test_dev_d8_random():
     filled = np.asarray(fill_depressions_dev(a))
     d8_arr = d8_from_filled(filled)
     _check_valid_network(filled, d8_arr)
+
+
+def test_dev_fill_max_depth_wang_liu():
+    """Depth-capped fill matches the host kernel on the reference's
+    worked example (Wang & Liu grid, max_depth=2)."""
+    got = np.asarray(fill_depressions_dev(WANG_LIU, max_depth=2))
+    want = dem.fill_depressions(WANG_LIU, max_depth=2)[0]
+    assert np.allclose(got, want)
+
+
+def test_dev_fill_elv_max():
+    got = np.asarray(fill_depressions_dev(WANG_LIU, elv_max=6.0))
+    want = dem.fill_depressions(WANG_LIU, elv_max=6.0)[0]
+    assert np.allclose(got, want)
+
+
+def test_dev_fill_max_depth_invariants():
+    """On arbitrary grids the depth cap holds and the surface drains; the
+    exact interior-pit choice may differ from the heap-ordered host."""
+    rng = np.random.RandomState(4)
+    for t in range(3):
+        a = np.round(rng.rand(20, 25) * 30).astype(np.float64)
+        got = np.asarray(fill_depressions_dev(a, max_depth=3.0))
+        assert np.all(got - a < 3.0 + 1e-6), "fill depth exceeds the cap"
+        assert np.all(got >= a - 1e-6)
+        d8_arr = d8_from_filled(got)
+        _check_valid_network(got, d8_arr)

@@ -49,3 +49,69 @@ def test_mesh_shapes():
     assert make_mesh(8).devices.shape in [(2, 4)]
     assert make_mesh(4).devices.shape == (2, 2)
     assert make_mesh(2).devices.shape == (1, 2)
+
+
+@pytest.mark.parametrize("n_devices", [2, 4, 8])
+def test_tiled_rank_matches_monolith(d8_grid, n_devices):
+    from pyflwdir_tpu.parallel import tiled_rank
+
+    mesh = make_mesh(n_devices)
+    got = tiled_rank(d8_grid, mesh)
+    idxs_ds, _, _ = d8c.from_array(d8_grid)
+    want = np.asarray(graph.rank(jnp.asarray(idxs_ds))).reshape(d8_grid.shape)
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("n_devices", [2, 4, 8])
+def test_tiled_basins_matches_monolith(d8_grid, n_devices):
+    from pyflwdir_tpu import basins as basins_mod
+    from pyflwdir_tpu.parallel import tiled_basins
+
+    mesh = make_mesh(n_devices)
+    idxs_ds, idxs_pit, _ = d8c.from_array(d8_grid)
+    got = tiled_basins(d8_grid, idxs_pit, mesh)
+    want = np.asarray(
+        basins_mod.basins(jnp.asarray(idxs_ds), jnp.asarray(idxs_pit))
+    ).reshape(d8_grid.shape)
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("n_devices", [4, 8])
+def test_tiled_fill_matches_host(n_devices):
+    from pyflwdir_tpu import dem as dem_mod
+    from pyflwdir_tpu.parallel import tiled_fill
+
+    rng = np.random.RandomState(5)
+    z = rng.rand(24, 32)
+    z += np.add.outer(np.linspace(1, 0, 24), np.linspace(1, 0, 32))
+    z[5:9, 6:11] -= 0.8  # a depression
+    z[2, 3] = -9999.0
+    mesh = make_mesh(n_devices)
+    got = tiled_fill(z, mesh, nodata=-9999.0)
+    want = dem_mod.fill_depressions(z, nodata=-9999.0)[0]
+    assert np.allclose(got, want)
+
+
+def test_tiled_convergence_guard_fires():
+    """A serpentine path crossing the tile boundary every row needs many
+    rounds; with max_rounds too small the guard must raise."""
+    from pyflwdir_tpu.parallel import tiled_rank
+
+    nrow, ncol = 16, 16
+    d8 = np.zeros((nrow, ncol), dtype=np.uint8)
+    # boustrophedon: rows alternate east/west, joined at the ends
+    for r in range(nrow):
+        d8[r, :] = 1 if r % 2 == 0 else 16  # E / W
+        if r % 2 == 0:
+            d8[r, -1] = 4  # S at east end
+        else:
+            d8[r, 0] = 4  # S at west end
+    d8[-1, 0 if (nrow - 1) % 2 else ncol - 1] = 0  # pit at the path end
+    mesh = make_mesh(2)  # split along columns -> crossings every two rows
+    # sanity: converges when unconstrained
+    got = tiled_rank(d8, mesh)
+    idxs_ds, _, _ = d8c.from_array(d8)
+    want = np.asarray(graph.rank(jnp.asarray(idxs_ds))).reshape(d8.shape)
+    assert np.array_equal(got, want)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        tiled_rank(d8, mesh, max_rounds=2)

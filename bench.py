@@ -45,6 +45,41 @@ def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+def _dep(data, x):
+    """``data``, with an un-foldable dependency on the loop carry ``x`` (so
+    XLA cannot hoist the loop body): accumulate outputs are >= 0 and data
+    is all-ones, hence max(data, min(x, 0)) == data."""
+    import jax.numpy as jnp
+
+    return jnp.maximum(data, jnp.minimum(x, jnp.zeros((), data.dtype)))
+
+
+def _steady_state_time(jax, step, data, k):
+    """Per-application steady-state time of ``step`` chained inside jit.
+
+    Times k- and 2k-iteration loops and divides the difference by k — the
+    constant dispatch/fetch/tunnel overheads cancel exactly, and the
+    one-element fetch forces completion even on asynchronous runtimes.
+    """
+    from jax import lax
+
+    def loop(n):
+        @jax.jit
+        def f(x):
+            return lax.fori_loop(0, n, lambda i, a: step(a), x)
+
+        np.asarray(f(data)[:1])  # compile + settle
+        return time_best(lambda: np.asarray(f(data)[:1]), n=3)
+
+    t1 = loop(k)
+    t2 = loop(2 * k)
+    _maybe_profile_data["last"] = (t1, t2)
+    return max(t2 - t1, 1e-9) / k
+
+
+_maybe_profile_data = {}
+
+
 def _maybe_profile(fn, tag):
     """Write a jax.profiler trace of one timed region when
     PYFLWDIR_BENCH_PROFILE=<dir> is set (inspect with tensorboard or
@@ -170,21 +205,8 @@ def bench_big(jax, jnp):
     pit_sum = int(np.asarray(out)[idxs_pit].sum())
     assert pit_sum == n_valid, f"conservation failed: {pit_sum} != {n_valid}"
 
-    ITERS = 8
-    from jax import lax
-
-    @jax.jit
-    def accum_loop(x):
-        return lax.fori_loop(
-            0, ITERS, lambda i, a: plan.accumulate(data + a * 0), x
-        )
-
-    np.asarray(accum_loop(data)[:1])  # compile + settle
-    # fetching one element forces the full dependency chain to complete
-    # even if the runtime's block_until_ready is asynchronous
-    t = time_best(lambda: np.asarray(accum_loop(data)[:1]), n=3) / ITERS
+    t = _steady_state_time(jax, lambda x: plan.accumulate(_dep(data, x)), data, 4)
     gps = n_cells / t
-    _maybe_profile(lambda: np.asarray(accum_loop(data)[:1]), "big")
 
     bpc = bytes_moved_per_cell(plan)
     moved = bpc * plan.n_pad
@@ -231,15 +253,7 @@ def bench_rhine(jax, jnp):
     pit_sum = float(np.asarray(out)[idxs_pit].sum())
     assert abs(pit_sum - n_valid) < 1e-3
 
-    ITERS = 50
-    from jax import lax
-
-    @jax.jit
-    def accum_loop(x):
-        return lax.fori_loop(0, ITERS, lambda i, a: _apply(data + a * 1e-30), x)
-
-    np.asarray(accum_loop(data)[:1])
-    t = time_best(lambda: np.asarray(accum_loop(data)[:1]), n=3) / ITERS
+    t = _steady_state_time(jax, lambda x: _apply(_dep(data, x)), data, 64)
     return {"n_cells": n_cells, "t_s": t, "gps": n_cells / t}
 
 

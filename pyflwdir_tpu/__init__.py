@@ -54,10 +54,12 @@ _enable_compile_cache()
 from . import (
     arithmetics,
     basins,
+    checkpoint,
     codecs,
     dem,
     gridtools,
     ops,
+    parallel,
     regions,
     rivers,
     streams,
@@ -108,5 +110,7 @@ __all__ = [
     "rivers",
     "regions",
     "gridtools",
+    "checkpoint",
+    "parallel",
     "__version__",
 ]

@@ -128,6 +128,27 @@ class Flwdir(object):
             self._cached["tree"] = jnp.asarray(self.rank.ravel() >= 0)
         return self._cached["tree"]
 
+    def _accumulate_dev(self, data):
+        """Router-plan flow accumulation (cached per graph): the fused
+        single-chunk kernel for integers, the HBM-scale compensated plan
+        past 2^21 cells, the widest-dtype sort-based kernel for small
+        float inputs (ops/accel.py, ops/accel_big.py, ops/plan.py)."""
+        from .ops.accel_big import BigAccelPlan
+
+        if "accel" not in self._cached:
+            from .ops.accel import build_accel_plan
+
+            self._cached["accel"] = build_accel_plan(self._idxs_ds, self._plan)
+        aplan = self._cached["accel"]
+        is_int = jnp.issubdtype(data.dtype, jnp.integer) or data.dtype == jnp.bool_
+        # the single-chunk fused kernel is float32-only; floats keep full
+        # accuracy via the compensated big plan or the widest-dtype path
+        if aplan is not None and (is_int or isinstance(aplan, BigAccelPlan)):
+            return aplan.accumulate(data)
+        from .ops.plan import accumulate_planned_fast
+
+        return accumulate_planned_fast(self._plan, data)
+
     def _invalidate(self):
         self._cached.clear()
         self._seq = None
@@ -425,10 +446,8 @@ class Flwdir(object):
 
     def upstream_area(self):
         """Upstream area map based on the set per-cell area."""
-        from .ops.plan import accumulate_planned_fast as accumulate_planned
-
         uparea = np.asarray(
-            accumulate_planned(self._plan, jnp.asarray(np.asarray(self.area).ravel()))
+            self._accumulate_dev(jnp.asarray(np.asarray(self.area).ravel()))
         )
         uparea = np.where(np.asarray(self.mask), uparea, -9999)
         return uparea.reshape(self.shape)
@@ -442,9 +461,7 @@ class Flwdir(object):
         dflat = jnp.asarray(data_np)
         if direction == "up":
             if not np.any(data_np == nodata):
-                from .ops.plan import accumulate_planned_fast as accumulate_planned
-
-                accu = accumulate_planned(self._plan, dflat)
+                accu = self._accumulate_dev(dflat)
             else:
                 accu = streams.accuflux(
                     self._jds, dflat, nodata=nodata, tree=self._tree

@@ -122,7 +122,8 @@ class BigAccelPlan:
             # broadcast: far slot q (holding group inv[q]) reads its value
             # from the packed group array. Groups covered by one 128-slot
             # row span < 128 ids, so a static pair of group rows per far
-            # row suffices; bidx indexes into the 256-wide row pair.
+            # row suffices; the pair lookup runs as two 128-wide lane
+            # gathers + select (Mosaic gathers need idx/source same width)
             f_rows = -(-F // _S)
             g_of_slot = np.zeros(f_rows * _S, dtype=np.int64)
             g_of_slot[:F] = inv
@@ -133,7 +134,8 @@ class BigAccelPlan:
             bidx = g2 - (rlo * _S)[:, None]
             if bidx.max() >= 2 * _S:
                 raise AssertionError("far group rows span more than a row pair")
-            self.bidx = jnp.asarray(bidx.astype(np.int16))
+            self.bidx_hi = jnp.asarray(bidx >= _S)
+            self.bidx = jnp.asarray((bidx % _S).astype(np.int8))
             self.f_rows = f_rows
 
             # R_far: cell pre[k] <- far slot of k
@@ -230,12 +232,13 @@ class BigAccelPlan:
         row-pair + lane-gather expansion to duplicates, one router pass."""
         Y = self.n_pad // _S
         a = jnp.take(c.reshape(-1), self.uniq_e).reshape(self.d_rows, _S)
-        pair = jnp.concatenate(
-            [jnp.take(a, self.rlo, axis=0),
-             jnp.take(a, jnp.minimum(self.rlo + 1, self.d_rows - 1), axis=0)],
-            axis=1,
+        a_lo = jnp.take(a, self.rlo, axis=0)
+        a_hi = jnp.take(a, jnp.minimum(self.rlo + 1, self.d_rows - 1), axis=0)
+        w = jnp.where(
+            self.bidx_hi,
+            lane_gather_tiled(a_hi, self.bidx),
+            lane_gather_tiled(a_lo, self.bidx),
         )
-        w = lane_gather_tiled(pair, self.bidx)  # (f_rows, 128)
         w_full = jnp.zeros((Y, _S), c.dtype).at[: self.f_rows].set(w)
         return self.r_far.apply(w_full)
 

@@ -34,8 +34,6 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-from ..codecs import d8 as d8c
-
 __all__ = ["fill_depressions_dev", "d8_from_filled"]
 
 _INF = jnp.inf

@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-from .graph import _n_rounds, path_sum, reach, self_loop, upstream_count
+from .graph import path_sum, reach, self_loop, upstream_count
 
 __all__ = ["strahler_order", "classic_order"]
 

@@ -11,9 +11,6 @@ from __future__ import annotations
 import numpy as np
 from scipy import ndimage
 
-import jax.numpy as jnp
-
-from .ops import graph
 from .utils import geodesy
 from .utils.affine import IDENTITY
 

@@ -225,3 +225,27 @@ def test_graph_flwdir_from_dataframe():
     flw = pf.from_dataframe(FakeDF(idx, ds))
     assert np.array_equal(flw.idxs_ds, [1, 2, 2])
     assert flw.nnodes == 3
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path, d8_small):
+    from pyflwdir_tpu import checkpoint, from_array
+
+    flw = from_array(d8_small, ftype="d8")
+    upa = flw.upstream_area(unit="cell")
+    checkpoint.save_sharded(
+        flw, str(tmp_path / "ckpt"), tile=(6, 5), rasters={"uparea": upa}
+    )
+    flw2, extra = checkpoint.load_sharded(str(tmp_path / "ckpt"), rasters=["uparea"])
+    assert flw2.shape == flw.shape and flw2.ftype == flw.ftype
+    assert np.array_equal(np.asarray(flw2.idxs_ds), np.asarray(flw.idxs_ds))
+    assert np.array_equal(extra["uparea"], upa)
+    # partial (tile-window) load of one raster
+    from pyflwdir_tpu.checkpoint import load_raster
+    import json as _json
+
+    man = _json.load(open(tmp_path / "ckpt" / "manifest.json"))
+    win = load_raster(
+        str(tmp_path / "ckpt"), "uparea", man["rasters"]["uparea"],
+        tile_slice=(0, 1, 0, 1),
+    )
+    assert np.array_equal(win, upa[:6, :5])

@@ -547,6 +547,85 @@ void dig_d4_host(const int64_t* nxt, const int64_t* order, int64_t nord,
 }
 
 // ---------------------------------------------------------------------------
+// Batched trace walks (reference core._trace / path / snap semantics).
+//
+// Per seed: walk along `nxt` until a pit / missing pointer, a True mask
+// cell (checked at the *current* cell, including the seed), or until the
+// accumulated metric distance would exceed `max_length` (< 0: no cap).
+// Unit steps by default; with `dx`/`dy` per-row metric step lengths the
+// distance is hypot-weighted (latlon grids pass per-row metres).
+// Pass 1 counts per-seed path lengths and final distances; pass 2 fills
+// the CSR path buffer.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct TraceCfg {
+  const int64_t* nxt;
+  const uint8_t* mask;   // nullable: stop where true
+  const double* stepx;   // nullable: col-step length at half-lat k=r0+r1
+  const double* stepy;   // nullable: row-step length at half-lat k=r0+r1
+  int64_t ncol;
+  double max_length;
+};
+
+inline double trace_step_len(const TraceCfg& c, int64_t a, int64_t b) {
+  if (!c.stepx) return 1.0;
+  const int64_t k = a / c.ncol + b / c.ncol;  // 2x the mean row
+  const int64_t dr = b / c.ncol - a / c.ncol;
+  const int64_t dc = b % c.ncol - a % c.ncol;
+  const double dy = dr ? c.stepy[k] : 0.0;
+  const double dx = dc ? c.stepx[k] : 0.0;
+  return std::sqrt(dy * dy + dx * dx);
+}
+
+// walk one seed; writes the path into `out` when non-null
+int64_t trace_one(const TraceCfg& c, int64_t seed, double* dist_out,
+                  int64_t* out) {
+  int64_t at = seed;
+  int64_t n = 1;
+  if (out) out[0] = at;
+  double dist = 0.0;
+  while (!(c.mask && c.mask[at])) {
+    const int64_t to = c.nxt[at];
+    if (to == at || to < 0) break;
+    const double d = trace_step_len(c, at, to);
+    if (c.max_length >= 0 && dist + d > c.max_length) break;
+    dist += d;
+    at = to;
+    if (out) out[n] = at;
+    ++n;
+  }
+  *dist_out = dist;
+  return n;
+}
+
+}  // namespace
+
+void trace_walks_count(const int64_t* nxt, int64_t n, const int64_t* seeds,
+                       int64_t m, const uint8_t* mask, const double* stepx,
+                       const double* stepy, int64_t ncol, double max_length,
+                       int64_t* counts, double* dists) {
+  (void)n;
+  const TraceCfg c{nxt, mask, stepx, stepy, ncol, max_length};
+  for (int64_t i = 0; i < m; ++i) {
+    counts[i] = trace_one(c, seeds[i], &dists[i], nullptr);
+  }
+}
+
+void trace_walks_fill(const int64_t* nxt, int64_t n, const int64_t* seeds,
+                      int64_t m, const uint8_t* mask, const double* stepx,
+                      const double* stepy, int64_t ncol, double max_length,
+                      const int64_t* offsets, int64_t* data) {
+  (void)n;
+  const TraceCfg c{nxt, mask, stepx, stepy, ncol, max_length};
+  double d;
+  for (int64_t i = 0; i < m; ++i) {
+    trace_one(c, seeds[i], &d, data + offsets[i]);
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Fixed-length channel windows centred on outlet pixels.
 //
 // Per seed: slide downstream while the along-channel coordinate stays

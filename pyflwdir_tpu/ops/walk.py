@@ -65,6 +65,48 @@ def window_indices(
     return jnp.stack(up_rows[::-1] + rows, axis=0)
 
 
+def _step_tables(nrow, latlon, transform):
+    """(2*nrow,) metric step lengths indexed by r0+r1 (degree lengths at
+    the mean latitude of the two rows — geodesy.distance semantics,
+    including the reference's xres/yres swap on projected grids)."""
+    xres, yres, north = transform[0], transform[4], transform[5]
+    if latlon:
+        lat = north + np.arange(2 * nrow) / 2.0 * yres
+        stepy = geodesy.degree_metres_y(lat) * yres
+        stepx = geodesy.degree_metres_x(lat) * xres
+    else:
+        stepy = np.full(2 * nrow, xres, dtype=np.float64)
+        stepx = np.full(2 * nrow, yres, dtype=np.float64)
+    return np.ascontiguousarray(stepx), np.ascontiguousarray(stepy)
+
+
+def _trace_batch(
+    idxs0, idxs_nxt, ncol, mask, max_length, real_length, latlon, transform
+):
+    """CSR paths + distances for a batch of seeds (native walk engine;
+    semantics of reference ``core._trace``, core.py:309-366: stop at a
+    pit / missing next cell, at a True ``mask`` cell — checked at the
+    *current* cell including the seed — or when the accumulated distance
+    would exceed ``max_length``)."""
+    from ..runtime import trace_walks
+
+    idxs_nxt = np.asarray(idxs_nxt)
+    if real_length and ncol is not None:
+        nrow = -(-idxs_nxt.size // ncol)
+        stepx, stepy = _step_tables(nrow, latlon, transform)
+    else:
+        stepx = stepy = None
+    return trace_walks(
+        idxs_nxt,
+        np.atleast_1d(np.asarray(idxs0)),
+        mask=None if mask is None else np.asarray(mask),
+        stepx=stepx,
+        stepy=stepy,
+        ncol=0 if ncol is None else int(ncol),
+        max_length=-1.0 if max_length is None else float(max_length),
+    )
+
+
 def trace(
     idx0: int,
     idxs_nxt: np.ndarray,
@@ -75,32 +117,11 @@ def trace(
     latlon=False,
     transform=IDENTITY,
 ):
-    """Single walk along ``idxs_nxt`` from ``idx0`` (host, sequential).
-
-    Semantics parity with reference ``core._trace`` (core.py:309-366):
-    stops at a pit / missing next cell, at a True ``mask`` cell
-    (checked at the *start* cell first), or when the accumulated distance
-    would exceed ``max_length``.
-    """
-    idxs = [idx0]
-    dist = 0.0
-    d = 1.0
-    while mask is None or not mask[idx0]:
-        idx1 = idxs_nxt[idx0]
-        if idx1 == idx0 or idx1 < 0:
-            break
-        if real_length and ncol is not None:
-            d = float(
-                geodesy.distance(
-                    np.asarray(idx0), np.asarray(idx1), ncol, latlon, transform
-                )
-            )
-        if max_length is not None and dist + d > max_length:
-            break
-        dist += d
-        idx0 = int(idx1)
-        idxs.append(idx0)
-    return np.array(idxs, dtype=idxs_nxt.dtype), dist
+    """Single walk along ``idxs_nxt`` from ``idx0`` (native)."""
+    off, data, dists = _trace_batch(
+        [idx0], idxs_nxt, ncol, mask, max_length, real_length, latlon, transform
+    )
+    return data.astype(idxs_nxt.dtype), float(dists[0])
 
 
 def paths(
@@ -115,24 +136,14 @@ def paths(
 ):
     """Walks from multiple seeds; returns (list of index paths, distances).
 
-    Parity: reference ``core.path`` (core.py:401-437).
+    Semantics: reference ``core.path`` (core.py:401-437); one native
+    batched CSR walk instead of per-seed python loops.
     """
-    idxs0 = np.atleast_1d(np.asarray(idxs0))
-    out_paths = []
-    dists = np.zeros(idxs0.size, dtype=np.float64)
-    for i, idx in enumerate(idxs0):
-        p, d = trace(
-            int(idx),
-            idxs_nxt,
-            ncol=ncol,
-            mask=mask,
-            max_length=max_length,
-            real_length=real_length,
-            latlon=latlon,
-            transform=transform,
-        )
-        out_paths.append(p)
-        dists[i] = d
+    off, data, dists = _trace_batch(
+        idxs0, idxs_nxt, ncol, mask, max_length, real_length, latlon, transform
+    )
+    data = data.astype(np.asarray(idxs_nxt).dtype)
+    out_paths = [data[off[i] : off[i + 1]] for i in range(off.size - 1)]
     return out_paths, dists
 
 
@@ -148,22 +159,11 @@ def snap_walk(
 ):
     """Endpoint + distance of walks from multiple seeds.
 
-    Parity: reference ``core.snap`` (core.py:441-480).
+    Semantics: reference ``core.snap`` (core.py:441-480); native batched.
     """
     idxs0 = np.atleast_1d(np.asarray(idxs0))
-    idxs = np.full(idxs0.size, -1, dtype=idxs0.dtype)
-    dists = np.zeros(idxs0.size, dtype=np.float32)
-    for i, idx in enumerate(idxs0):
-        p, d = trace(
-            int(idx),
-            idxs_nxt,
-            ncol=ncol,
-            mask=mask,
-            max_length=max_length,
-            real_length=real_length,
-            latlon=latlon,
-            transform=transform,
-        )
-        idxs[i] = p[-1]
-        dists[i] = d
-    return idxs, dists
+    off, data, dists = _trace_batch(
+        idxs0, idxs_nxt, ncol, mask, max_length, real_length, latlon, transform
+    )
+    ends = data[off[1:] - 1].astype(idxs0.dtype)
+    return ends, dists.astype(np.float32)

@@ -466,6 +466,52 @@ if _lib is not None:
         )
         return z
 
+    _lib.trace_walks_count.restype = None
+    _lib.trace_walks_count.argtypes = [
+        _I64P, ctypes.c_int64, _I64P, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_double,
+        _I64P, _F64P,
+    ]
+    _lib.trace_walks_fill.restype = None
+    _lib.trace_walks_fill.argtypes = [
+        _I64P, ctypes.c_int64, _I64P, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_double,
+        _I64P, _I64P,
+    ]
+
+    def trace_walks(nxt, seeds, mask=None, stepx=None, stepy=None, ncol=0,
+                    max_length=-1.0):
+        """Batched trace walks (reference core._trace/path/snap semantics):
+        CSR paths + metric distances per seed. ``stepx``/``stepy`` are
+        (2*nrow,) step lengths indexed by r0+r1 (mean-latitude metres), or
+        None for unit steps."""
+        nxt = _i64(nxt)
+        seeds = _i64(seeds)
+        m = seeds.size
+        _mask_keep, mask_p = _mask_arg(mask)
+        if stepx is not None:
+            stepx = np.ascontiguousarray(stepx, dtype=np.float64)
+            stepy = np.ascontiguousarray(stepy, dtype=np.float64)
+            sx_p = stepx.ctypes.data_as(ctypes.c_void_p)
+            sy_p = stepy.ctypes.data_as(ctypes.c_void_p)
+        else:
+            sx_p = sy_p = None
+        counts = np.empty(m, dtype=np.int64)
+        dists = np.empty(m, dtype=np.float64)
+        args = (
+            nxt.ctypes.data_as(_I64P), nxt.size,
+            seeds.ctypes.data_as(_I64P), m, mask_p, sx_p, sy_p,
+            int(ncol), float(max_length),
+        )
+        _lib.trace_walks_count(*args, counts.ctypes.data_as(_I64P),
+                               dists.ctypes.data_as(_F64P))
+        offsets = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        data = np.empty(int(offsets[-1]), dtype=np.int64)
+        _lib.trace_walks_fill(*args, offsets.ctypes.data_as(_I64P),
+                              data.ctypes.data_as(_I64P))
+        return offsets, data, dists
+
     _lib.fixed_window_count.restype = None
     _lib.fixed_window_count.argtypes = [
         _I64P, _I64P, _F64P, ctypes.c_void_p, _I64P, ctypes.c_int64,
@@ -579,7 +625,7 @@ if _lib is not None:
                "strahler_order", "classic_order", "channel_paths",
                "stream_segments", "smooth_rivlen", "subbasin_area_outlets",
                "adjust_elevation", "repair_profile", "dig_d4",
-               "fixed_windows", "ihu_relocate", "ihu_opt_rivlen",
-               "ihu_min_error"]
+               "fixed_windows", "trace_walks", "ihu_relocate",
+               "ihu_opt_rivlen", "ihu_min_error"]
 else:
     __all__ = []

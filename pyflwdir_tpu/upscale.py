@@ -565,54 +565,55 @@ def ihu(
     pit_out_of_cell=2,
     mv=_MV,
 ):
-    """Iterative hydrography upscaling driver.
+    """Iterative hydrography upscaling.
 
-    Parity: reference upscale.py:1155-1305: repcell -> outlets -> nextidx,
-    then ``niter`` rounds of relocate / check / optimize-rivlen /
-    minimize-error.
+    Behavioral spec: reference upscale.py:1155-1305. Construction phase:
+    EAM representative cells (device scatter-argmax) -> outlet pixels (one
+    pointer-doubling ``reach``) -> lowres pointers (lockstep walk). Repair
+    phase: up to ``niter`` rounds of the native repair kernels — relocate
+    broken cells, re-check connectivity, shorten sub-minimum reaches,
+    minimize upstream-area error — stopping early once a round fixes
+    nothing new (the final round additionally allows near-cell pits).
     """
     subnrow, subncol = subshape
-    nrow = int(np.ceil(subnrow / cellsize))
-    ncol = int(np.ceil(subncol / cellsize))
-    shape = (nrow, ncol)
-    minlen = cellsize * minlen_ratio
-    minupa = cellsize**2 * minupa_ratio
-    subidxs_rep = eam_repcell(
-        subidxs_ds, subuparea, subshape, shape, cellsize, r_ratio=r_ratio, mv=mv
+    shape = (int(np.ceil(subnrow / cellsize)), int(np.ceil(subncol / cellsize)))
+    geo = dict(subshape=subshape, shape=shape, cellsize=cellsize, mv=mv)
+    min_reach_len = cellsize * minlen_ratio
+    min_outlet_upa = cellsize**2 * minupa_ratio
+
+    # construction
+    rep = eam_repcell(subidxs_ds, subuparea, r_ratio=r_ratio, **geo)
+    subidxs_out = ihu_outlets(rep, subidxs_ds, subuparea, **geo)
+    idxs_ds, broken = ihu_nextidx(
+        subidxs_out, subidxs_ds, r_ratio=r_ratio, **geo
     )
-    subidxs_out = ihu_outlets(
-        subidxs_rep, subidxs_ds, subuparea, subshape, shape, cellsize, mv=mv
-    )
-    idxs_ds, idxs_fix = ihu_nextidx(
-        subidxs_out, subidxs_ds, subshape, shape, cellsize, r_ratio=r_ratio, mv=mv
-    )
-    for j in range(niter):
-        idxs_ds, subidxs_out, idxs_fix1 = ihu_relocate_outlets(
-            idxs_fix, idxs_ds, subidxs_out, subidxs_ds, subuparea,
-            subshape, shape, cellsize, mv=mv,
+
+    # repair rounds
+    for round_no in range(niter):
+        idxs_ds, subidxs_out, _ = ihu_relocate_outlets(
+            broken, idxs_ds, subidxs_out, subidxs_ds, subuparea, **geo
         )
-        valid, streams, idxs_fix1, idxs_short = upscale_check(
-            subidxs_out, idxs_ds, subidxs_ds, minlen=minlen, mv=mv
+        valid, strm, still_broken, short = upscale_check(
+            subidxs_out, idxs_ds, subidxs_ds, minlen=min_reach_len, mv=mv
         )
-        last_iter = (
-            idxs_fix1.size == 0 or idxs_fix1.size == idxs_fix.size or j + 1 == niter
-        )
+        converged = still_broken.size in (0, broken.size)
+        final = converged or round_no + 1 == niter
+        repair_args = (idxs_ds, subidxs_out, subidxs_ds, subuparea)
         if opt_rivlen:
             idxs_ds, subidxs_out = ihu_optimize_rivlen(
-                idxs_short, valid, streams, idxs_ds, subidxs_out, subidxs_ds,
-                subuparea, subshape, shape, cellsize, minlen=minlen,
-                minupa=minupa, mv=mv,
+                short, valid, strm, *repair_args,
+                minlen=min_reach_len, minupa=min_outlet_upa, **geo,
             )
+            repair_args = (idxs_ds, subidxs_out, subidxs_ds, subuparea)
         if min_error:
             idxs_ds, subidxs_out = ihu_minimize_error(
-                idxs_fix1, valid, streams, idxs_ds, subidxs_out, subidxs_ds,
-                subuparea, subshape, shape, cellsize, minlen=minlen,
-                minupa=minupa,
-                pit_out_of_cell=pit_out_of_cell if last_iter else 0, mv=mv,
+                still_broken, valid, strm, *repair_args,
+                minlen=min_reach_len, minupa=min_outlet_upa,
+                pit_out_of_cell=pit_out_of_cell if final else 0, **geo,
             )
-        if last_iter:
+        if final:
             break
-        idxs_fix = idxs_fix1
+        broken = still_broken
 
     return idxs_ds, subidxs_out, shape
 

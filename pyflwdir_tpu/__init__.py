@@ -57,6 +57,7 @@ from . import (
     checkpoint,
     codecs,
     dem,
+    gis_utils,
     gridtools,
     ops,
     parallel,
@@ -110,6 +111,7 @@ __all__ = [
     "rivers",
     "regions",
     "gridtools",
+    "gis_utils",
     "checkpoint",
     "parallel",
     "__version__",

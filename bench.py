@@ -54,22 +54,25 @@ def _dep(data, x):
     return jnp.maximum(data, jnp.minimum(x, jnp.zeros((), data.dtype)))
 
 
-def _steady_state_time(jax, step, data, k):
-    """Per-application steady-state time of ``step`` chained inside jit.
+def _steady_state_time(jax, body, init, consts, k):
+    """Per-application steady-state time of ``body`` chained inside jit.
 
-    Times k- and 2k-iteration loops and divides the difference by k — the
-    constant dispatch/fetch/tunnel overheads cancel exactly, and the
-    one-element fetch forces completion even on asynchronous runtimes.
+    ``body(carry, *consts) -> carry``; ``consts`` ride as jit *arguments*
+    (remote-compile runtimes serialize jit constants — GB-scale plan
+    tensors must not be baked into the executable). Times k- and
+    2k-iteration loops and divides the difference by k, so the constant
+    dispatch/fetch/tunnel overheads cancel exactly; the one-element fetch
+    forces completion even on asynchronous runtimes.
     """
     from jax import lax
 
     def loop(n):
         @jax.jit
-        def f(x):
-            return lax.fori_loop(0, n, lambda i, a: step(a), x)
+        def f(x, *cs):
+            return lax.fori_loop(0, n, lambda i, a: body(a, *cs), x)
 
-        np.asarray(f(data)[:1])  # compile + settle
-        return time_best(lambda: np.asarray(f(data)[:1]), n=3)
+        np.asarray(f(init, *consts)[:1])  # compile + settle
+        return time_best(lambda: np.asarray(f(init, *consts)[:1]), n=3)
 
     t1 = loop(k)
     t2 = loop(2 * k)
@@ -195,17 +198,23 @@ def bench_big(jax, jnp):
     plan, dfs = big_plan(idxs_ds, side)
 
     data = jnp.ones(n_cells, dtype=jnp.int32)
+    arrs = plan.arrays()  # jit args, not constants (remote compile)
 
     @jax.jit
-    def accum(x):
-        return plan.accumulate(x)
+    def accum(x, arrs):
+        return plan.accumulate(x, arrs)
 
-    out = accum(data)
-    out.block_until_ready()
+    out = accum(data, arrs)
     pit_sum = int(np.asarray(out)[idxs_pit].sum())
     assert pit_sum == n_valid, f"conservation failed: {pit_sum} != {n_valid}"
 
-    t = _steady_state_time(jax, lambda x: plan.accumulate(_dep(data, x)), data, 4)
+    t = _steady_state_time(
+        jax,
+        lambda a, d, arrs: plan.accumulate(_dep(d, a), arrs),
+        data,
+        (data, arrs),
+        4,
+    )
     gps = n_cells / t
 
     bpc = bytes_moved_per_cell(plan)
@@ -253,7 +262,9 @@ def bench_rhine(jax, jnp):
     pit_sum = float(np.asarray(out)[idxs_pit].sum())
     assert abs(pit_sum - n_valid) < 1e-3
 
-    t = _steady_state_time(jax, lambda x: _apply(_dep(data, x)), data, 64)
+    t = _steady_state_time(
+        jax, lambda a, d: _apply(_dep(d, a)), data, (data,), 64
+    )
     return {"n_cells": n_cells, "t_s": t, "gps": n_cells / t}
 
 

@@ -39,6 +39,16 @@ __all__ = ["BigAccelPlan", "build_big_accel_plan"]
 _CHUNK = _S * _S * _S  # elements per router chunk (2^21)
 
 
+class _View:
+    """Attribute access over the ``arrs`` pytree (accumulate internals)."""
+
+    def __init__(self, arrs):
+        self._arrs = arrs
+
+    def __getattr__(self, k):
+        return self._arrs[k]
+
+
 class BigAccelPlan:
     """Per-graph device plan for HBM-scale router accumulation.
 
@@ -209,40 +219,59 @@ class BigAccelPlan:
         ol = jnp.concatenate([jnp.zeros(1, ol.dtype), ol[:-1]])
         return self._ds_add((hi, lo), (oh[:, None], ol[:, None]))
 
-    def _gather_pair(self, c):
+    def _gather_pair(self, c, a):
         """Near-interval end / start values of the prefix plane ``c``."""
         zrow = jnp.zeros((1, _S), c.dtype)
         c_next = jnp.concatenate([c[1:], zrow], axis=0)
         c_prevrow = jnp.concatenate([zrow, c[:-1]], axis=0)
         g_near = jnp.where(
-            self.sel_next,
-            lane_gather_tiled(c_next, self.idx_near),
-            lane_gather_tiled(c, self.idx_near),
+            a.sel_next,
+            lane_gather_tiled(c_next, a.idx_near),
+            lane_gather_tiled(c, a.idx_near),
         )
         g_prev = jnp.where(
-            self.sel_prevrow,
-            lane_gather_tiled(c_prevrow, self.idx_prev),
-            lane_gather_tiled(c, self.idx_prev),
+            a.sel_prevrow,
+            lane_gather_tiled(c_prevrow, a.idx_prev),
+            lane_gather_tiled(c, a.idx_prev),
         )
         return g_near, g_prev
 
-    def _far_values(self, c):
+    def _far_values(self, c, a, route):
         """Interval-end prefix values delivered to far cells ((Y, S), to be
         masked by ``far_cell``): small gather of the distinct ends, static
         row-pair + lane-gather expansion to duplicates, one router pass."""
         Y = self.n_pad // _S
-        a = jnp.take(c.reshape(-1), self.uniq_e).reshape(self.d_rows, _S)
-        a_lo = jnp.take(a, self.rlo, axis=0)
-        a_hi = jnp.take(a, jnp.minimum(self.rlo + 1, self.d_rows - 1), axis=0)
+        g = jnp.take(c.reshape(-1), a.uniq_e).reshape(self.d_rows, _S)
+        g_lo = jnp.take(g, a.rlo, axis=0)
+        g_hi = jnp.take(g, jnp.minimum(a.rlo + 1, self.d_rows - 1), axis=0)
         w = jnp.where(
-            self.bidx_hi,
-            lane_gather_tiled(a_hi, self.bidx),
-            lane_gather_tiled(a_lo, self.bidx),
+            a.bidx_hi,
+            lane_gather_tiled(g_hi, a.bidx),
+            lane_gather_tiled(g_lo, a.bidx),
         )
         w_full = jnp.zeros((Y, _S), c.dtype).at[: self.f_rows].set(w)
-        return self.r_far.apply(w_full)
+        return route("r_far", w_full)
 
-    def accumulate(self, data):
+    # arrays consumed by the device step; exposed as a pytree so callers
+    # can pass them as jit *arguments* (runtimes that serialize jit
+    # constants — e.g. remote-compile tunnels — choke on GB-scale consts)
+    _ARRAY_FIELDS = (
+        "near_sel", "idx_near", "sel_next", "idx_prev", "sel_prevrow",
+        "tree_mask",
+    )
+    _FAR_FIELDS = ("far_cell", "uniq_e", "rlo", "bidx", "bidx_hi")
+
+    def arrays(self):
+        """Device-array pytree for :meth:`accumulate`'s ``arrs`` argument."""
+        out = {k: getattr(self, k) for k in self._ARRAY_FIELDS}
+        out["r_in"] = self.r_in.stages
+        out["r_out"] = self.r_out.stages
+        if self.has_far:
+            out.update({k: getattr(self, k) for k in self._FAR_FIELDS})
+            out["r_far"] = self.r_far.stages
+        return out
+
+    def accumulate(self, data, arrs=None):
         """Flow accumulation of ``data`` ((n_cells,) array) on device.
 
         Tree cells get their subtree sum, off-tree cells pass through.
@@ -250,7 +279,18 @@ class BigAccelPlan:
         2^31). Float inputs run compensated (double-single prefix sums +
         plane-wise interval differences): float64-equivalent accuracy on
         float32 hardware.
+
+        Pass ``arrs=plan.arrays()`` as a jit argument to keep the plan
+        tensors out of the compiled executable's constants.
         """
+        if arrs is None:
+            arrs = self.arrays()
+        a = _View(arrs)
+        G1 = self.r_in.G1
+
+        def route(name, x2):
+            return RouterPlanBig._chain(x2, G1, arrs[name], lane_gather_tiled)
+
         Y = self.n_pad // _S
         dtype = data.dtype
         is_int = jnp.issubdtype(dtype, jnp.integer) or dtype == jnp.bool_
@@ -260,37 +300,35 @@ class BigAccelPlan:
             [x, jnp.zeros(self.n_pad - self.n_cells, acc)]
         ).reshape(Y, _S)
 
-        xp = self.r_in.apply(x2)
+        xp = route("r_in", x2)
 
         if is_int:
             c = self._cumsum(xp)
-            g_near, g_prev = self._gather_pair(c)
-            outp = jnp.where(self.near_sel, g_near, 0) - g_prev
-            out = self.r_out.apply(outp)
+            g_near, g_prev = self._gather_pair(c, a)
+            outp = jnp.where(a.near_sel, g_near, 0) - g_prev
+            out = route("r_out", outp)
             if self.has_far:
-                out = out + jnp.where(self.far_cell, self._far_values(c), 0)
+                out = out + jnp.where(
+                    a.far_cell, self._far_values(c, a, route), 0
+                )
         else:
             # nearby prefix values cancel exactly plane-wise (Sterbenz), so
             # interval differences collapse safely after subtraction
             chi, clo = self._cumsum_ds(xp)
-            gn_hi, gp_hi = self._gather_pair(chi)
-            gn_lo, gp_lo = self._gather_pair(clo)
+            gn_hi, gp_hi = self._gather_pair(chi, a)
+            gn_lo, gp_lo = self._gather_pair(clo, a)
             # near cells: full collapsed difference; far cells: the -c[k-1]
             # halves ride per plane so the far +c[e] can cancel first
-            out_hi = self.r_out.apply(
-                jnp.where(self.near_sel, gn_hi - gp_hi, -gp_hi)
-            )
-            out_lo = self.r_out.apply(
-                jnp.where(self.near_sel, gn_lo - gp_lo, -gp_lo)
-            )
+            out_hi = route("r_out", jnp.where(a.near_sel, gn_hi - gp_hi, -gp_hi))
+            out_lo = route("r_out", jnp.where(a.near_sel, gn_lo - gp_lo, -gp_lo))
             out = out_hi + out_lo
             if self.has_far:
-                far = (out_hi + self._far_values(chi)) + (
-                    out_lo + self._far_values(clo)
+                far = (out_hi + self._far_values(chi, a, route)) + (
+                    out_lo + self._far_values(clo, a, route)
                 )
-                out = jnp.where(self.far_cell, far, out)
+                out = jnp.where(a.far_cell, far, out)
 
-        res = jnp.where(self.tree_mask, out, x2)
+        res = jnp.where(a.tree_mask, out, x2)
         return res.reshape(-1)[: self.n_cells].astype(dtype)
 
 

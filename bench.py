@@ -177,10 +177,11 @@ def big_plan(idxs_ds, side):
 
 def bytes_moved_per_cell(plan):
     """Static HBM traffic account of one BigAccelPlan.accumulate, bytes per
-    padded cell (4-byte data): per 7-stage router, 7 lane-gather passes
-    (read 4 + idx 1 + write 4) and 6 transposes (read 4 + write 4); plus
-    prefix sum, two near gathers with selects, masks and the final merge."""
-    per_router = 7 * 9 + 6 * 8
+    padded cell (4-byte data): per 7-stage router, five fused Pallas passes
+    (read 4 + write 4 each) + 7 int8 stage tables (all layout rotations
+    happen in VMEM, router_big._chain_fused); plus prefix sum, two near
+    gathers with selects, masks and the final merge."""
+    per_router = 5 * 8 + 7
     n_routers = 3 if plan.has_far else 2
     cumsum = 16           # row cumsum read+write, offsets negligible
     near = 2 * 9 + 2 * 5  # two selected lane gathers + bool masks

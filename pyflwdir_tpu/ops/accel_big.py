@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from .accel import _pad_bijection
 from .plan import DfsPlan, build_plan
 from .router import _S
-from .router_big import RouterPlanBig, lane_gather_tiled
+from .router_big import RouterPlanBig, _on_tpu, lane_gather_tiled
 
 __all__ = ["BigAccelPlan", "build_big_accel_plan"]
 
@@ -58,7 +58,9 @@ class BigAccelPlan:
     concurrently (the native colorer releases the GIL).
     """
 
-    def __init__(self, dfs: DfsPlan, idxs_ds_np, routers=None):
+    def __init__(
+        self, dfs: DfsPlan, idxs_ds_np, routers=None, in_slot=None, out_slot=None
+    ):
         pre = dfs.preorder_np.astype(np.int64)
         pos = dfs.pos_np.astype(np.int64)
         size = dfs.size_np.astype(np.int64)
@@ -67,7 +69,26 @@ class BigAccelPlan:
         self.n_cells = n_cells
         self.n_tree = n_tree
 
-        n_pad = max(n_cells, n_tree, 1)
+        # slot mode (hierarchical coarse level, ops/tile_plan.py): the
+        # input value of node i lives at flat slot ``in_slot[i]`` and its
+        # accumulated output is delivered to slot ``out_slot[i]`` (< 0 =
+        # not needed). Off-layout slots read/return zeros; there is no
+        # pass-through of off-tree nodes in slot mode.
+        self.slot_mode = in_slot is not None or out_slot is not None
+        if in_slot is not None:
+            in_slot = np.asarray(in_slot, dtype=np.int64)
+        if out_slot is not None:
+            out_slot = np.asarray(out_slot, dtype=np.int64)
+        self.n_in = (
+            n_cells if in_slot is None else int(in_slot.max() + 1 if in_slot.size else 1)
+        )
+        self.n_out = (
+            n_cells
+            if out_slot is None
+            else int(out_slot.max() + 1 if out_slot.size else 1)
+        )
+
+        n_pad = max(n_cells, n_tree, self.n_in, self.n_out, 1)
         n_pad = -(-n_pad // _CHUNK) * _CHUNK
         self.ok = n_pad // _CHUNK <= _S
         if not self.ok:
@@ -81,8 +102,14 @@ class BigAccelPlan:
 
         # cell -> preorder permutation; preorder -> cell is its inverse
         # (pos inverts pre), derived from the same colorings for free
-        sig_in = _pad_bijection(k, pre, n_pad)
+        src_in = pre if in_slot is None else in_slot[pre]
+        sig_in = _pad_bijection(k, src_in, n_pad)
         sig_far = None
+        sig_out = None
+        if out_slot is not None:
+            osel = (pos >= 0) & (out_slot >= 0)
+            cells_o = np.nonzero(osel)[0]
+            sig_out = _pad_bijection(out_slot[cells_o], pos[cells_o], n_pad)
 
         # near-interval lane gathers (preorder layout): slot k reads
         # c[k + d] from its own or the next row
@@ -103,11 +130,19 @@ class BigAccelPlan:
             ((np.arange(n_pad) % _S) == 0).reshape(Y, _S)
         )
 
+        # out-layout validity mask: default mode = on-tree cells (others
+        # pass the input through); slot mode = slots that receive a value
+        # (others return 0)
         tree_mask = np.zeros(n_pad, dtype=bool)
-        tree_mask[:n_cells] = pos >= 0
+        if out_slot is None:
+            tree_mask[:n_cells] = pos >= 0
+        else:
+            tree_mask[out_slot[cells_o]] = True
         self.tree_mask = jnp.asarray(tree_mask.reshape(Y, _S))
 
         # ---- far intervals: dense group expansion --------------------
+        if out_slot is not None:
+            far = far & (out_slot[pre] >= 0)
         k_far = k[far]
         self.has_far = k_far.size > 0
         if self.has_far:
@@ -148,15 +183,18 @@ class BigAccelPlan:
             self.bidx = jnp.asarray((bidx % _S).astype(np.int8))
             self.f_rows = f_rows
 
-            # R_far: cell pre[k] <- far slot of k
-            sig_far = _pad_bijection(
-                pre[k_sorted], np.arange(F, dtype=np.int64), n_pad
+            # R_far: out slot of cell pre[k] <- far slot of k
+            dst_far = (
+                pre[k_sorted] if out_slot is None else out_slot[pre[k_sorted]]
             )
+            sig_far = _pad_bijection(dst_far, np.arange(F, dtype=np.int64), n_pad)
             far_cell = np.zeros(n_pad, dtype=bool)
-            far_cell[pre[k_far]] = True
+            far_cell[dst_far] = True
             self.far_cell = jnp.asarray(far_cell.reshape(Y, _S))
 
-        # build the two colored routers (concurrently unless supplied)
+        # build the colored routers (concurrently unless supplied); in
+        # default mode R_out is the inverse of R_in (pos inverts pre) and
+        # costs nothing; in slot mode it is an independent permutation
         if routers is not None:
             self.r_in = RouterPlanBig(routers["G1"], routers["r_in"])
             self.r_far = (
@@ -164,24 +202,36 @@ class BigAccelPlan:
                 if self.has_far
                 else None
             )
-        elif sig_far is not None:
+            self.r_out = (
+                RouterPlanBig(routers["G1"], routers["r_out"])
+                if "r_out" in routers
+                else self.r_in.inverse()
+            )
+        else:
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(2) as ex:
-                f_in = ex.submit(RouterPlanBig.build, sig_in)
-                f_far = ex.submit(RouterPlanBig.build, sig_far)
-                self.r_in = f_in.result()
-                self.r_far = f_far.result()
-        else:
-            self.r_in = RouterPlanBig.build(sig_in)
-            self.r_far = None
-        self.r_out = self.r_in.inverse()
+            jobs = {"r_in": sig_in}
+            if sig_far is not None:
+                jobs["r_far"] = sig_far
+            if sig_out is not None:
+                jobs["r_out"] = sig_out
+            with ThreadPoolExecutor(max(len(jobs), 1)) as ex:
+                futs = {
+                    name: ex.submit(RouterPlanBig.build, sig)
+                    for name, sig in jobs.items()
+                }
+                built = {name: f.result() for name, f in futs.items()}
+            self.r_in = built["r_in"]
+            self.r_far = built.get("r_far")
+            self.r_out = built.get("r_out") or self.r_in.inverse()
 
     def router_tables(self):
         """Stage tables of the colored routers, for external disk caching."""
         out = {"G1": np.int64(self.r_in.G1), "r_in": tuple(self.r_in._np)}
         if self.has_far:
             out["r_far"] = tuple(self.r_far._np)
+        if self.slot_mode:
+            out["r_out"] = tuple(self.r_out._np)
         return out
 
     # -- device execution --------------------------------------------------
@@ -262,13 +312,21 @@ class BigAccelPlan:
     _FAR_FIELDS = ("far_cell", "uniq_e", "rlo", "bidx", "bidx_hi")
 
     def arrays(self):
-        """Device-array pytree for :meth:`accumulate`'s ``arrs`` argument."""
+        """Device-array pytree for :meth:`accumulate`'s ``arrs`` argument.
+
+        On TPU the router tables are the fused-chain tile layouts
+        (:meth:`RouterPlanBig.tpu_stages`); elsewhere the plain per-stage
+        tables for the XLA chain. Both derive from the same host copies.
+        """
+        fused = _on_tpu()
         out = {k: getattr(self, k) for k in self._ARRAY_FIELDS}
-        out["r_in"] = self.r_in.stages
-        out["r_out"] = self.r_out.stages
+        out["r_in"] = self.r_in.tpu_stages() if fused else self.r_in.stages
+        out["r_out"] = self.r_out.tpu_stages() if fused else self.r_out.stages
         if self.has_far:
             out.update({k: getattr(self, k) for k in self._FAR_FIELDS})
-            out["r_far"] = self.r_far.stages
+            out["r_far"] = (
+                self.r_far.tpu_stages() if fused else self.r_far.stages
+            )
         return out
 
     def accumulate(self, data, arrs=None):
@@ -287,8 +345,11 @@ class BigAccelPlan:
             arrs = self.arrays()
         a = _View(arrs)
         G1 = self.r_in.G1
+        fused = _on_tpu()
 
         def route(name, x2):
+            if fused:
+                return RouterPlanBig._chain_fused(x2, G1, arrs[name])
             return RouterPlanBig._chain(x2, G1, arrs[name], lane_gather_tiled)
 
         Y = self.n_pad // _S
@@ -297,7 +358,7 @@ class BigAccelPlan:
         acc = jnp.int32 if is_int else jnp.float32
         x = jnp.asarray(data).astype(acc)
         x2 = jnp.concatenate(
-            [x, jnp.zeros(self.n_pad - self.n_cells, acc)]
+            [x, jnp.zeros(self.n_pad - x.shape[0], acc)]
         ).reshape(Y, _S)
 
         xp = route("r_in", x2)
@@ -328,8 +389,11 @@ class BigAccelPlan:
                 )
                 out = jnp.where(a.far_cell, far, out)
 
-        res = jnp.where(a.tree_mask, out, x2)
-        return res.reshape(-1)[: self.n_cells].astype(dtype)
+        if self.slot_mode:
+            res = jnp.where(a.tree_mask, out, jnp.zeros((), out.dtype))
+        else:
+            res = jnp.where(a.tree_mask, out, x2)
+        return res.reshape(-1)[: self.n_out].astype(dtype)
 
 
 def build_big_accel_plan(idxs_ds_np, dfs: DfsPlan = None, routers=None):

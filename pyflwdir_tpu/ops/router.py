@@ -275,6 +275,33 @@ class RouterPlan:
         iG[fib, gd] = gs.astype(np.int8)
         return RouterPlan(G, i1, iS1, iG, iS2, i3)
 
+    def inverse(self) -> "RouterPlan":
+        """Router for the inverse permutation, derived without coloring.
+
+        The 5-stage schedule ``L-S-G-S-L`` is palindromic and every
+        inter-stage transpose is an involution, so routing ``sigma^{-1}``
+        is the same chain run with the per-row-inverted stage tables in
+        reverse order (same derivation as
+        :meth:`pyflwdir_tpu.ops.router_big.RouterPlanBig.inverse`).
+        """
+
+        def inv(t):
+            t = np.asarray(t)
+            out = np.zeros_like(t)
+            r = np.arange(t.shape[0])[:, None]
+            j = np.broadcast_to(np.arange(t.shape[1]), t.shape)
+            out[r, t.astype(np.int64)] = j.astype(t.dtype)
+            return out
+
+        return RouterPlan(
+            self.G,
+            inv(self.i3_np),
+            inv(self.iS2_np),
+            inv(self.iGp_np),
+            inv(self.iS1_np),
+            inv(self.i1_np),
+        )
+
     # -- execution ------------------------------------------------------
     @staticmethod
     def _chain(v, G, i1, iS1, iG, iS2, i3, ta):

@@ -1,0 +1,727 @@
+"""Hierarchical tile-local accumulation plan (the north-star kernel).
+
+The global router plans (:mod:`ops.accel` / :mod:`ops.accel_big`) move the
+whole array through 2-3 full static permutations per accumulation (~150
+bytes/cell of HBM traffic).  This module replaces them with a two-level
+decomposition whose global data movement is two streaming passes:
+
+* the raster is cut into ``(tile_rows, 128)`` raster tiles; the flow graph
+  restricted to a tile is a forest whose roots are pits and tile-exit
+  cells.  Each tile gets its own DFS-interval plan (``ops/plan.py``
+  identity) that resolves **entirely in VMEM**: a 5-stage local router
+  (``ops/router.py``) permutes the tile to local preorder, a register
+  cumsum + lane gathers produce every subtree sum, and the inverse router
+  (no extra coloring: :meth:`RouterPlan.inverse`) restores raster order.
+* flow crossing tile edges is exact: **pass A** computes each tile's
+  local-root subtree sums; a small **coarse accumulation** over the
+  root->entry graph (~n/80 nodes; :class:`ops.accel_big.BigAccelPlan` in
+  slot mode, or plain gathers when tiny) yields the total flow entering
+  every tile; **pass C** re-runs the local plan with those entry values
+  injected as source terms, since ``accu[i] = sum over local subtree of
+  (data + injected)``.
+
+Per-cell HBM traffic is ~2 reads + 1 write of data plus ~15 bytes of int8
+plan tables — an order of magnitude below the global routers — and both
+passes are single fused Pallas kernels on TPU (grid over tiles, all
+routing/gather work in VMEM).  Off TPU the same bodies run vmapped over
+tiles through XLA.
+
+Numerics: integer inputs accumulate exactly in int32 (far/exit/entry
+gathers go through MXU one-hot selections on exact signed-16-bit planes);
+float inputs run in float32 with per-tile O(eps * tile_total) error plus a
+compensated coarse level — tighter than a single global float32 prefix
+sum.
+
+Semantics match :func:`ops.plan.accumulate_planned` (reference sweep
+``accu[ds[i]] += accu[i]`` over the topological order, streams.py:37-41)
+for valid loop-free graphs; cells on a cycle or draining into a missing
+cell differ (global plan passes them through, the tile plan accumulates
+their tile-local part) — both are invalid inputs in the reference too.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .accel_big import BigAccelPlan
+from .plan import DfsPlan, accumulate_planned, build_plan
+from .router import RouterPlan, _S
+
+__all__ = ["TilePlan", "build_tile_plan"]
+
+_HIGH = lax.Precision.HIGHEST
+# below this many coarse nodes a plain XLA-gather coarse level is cheaper
+# than building 2^21-padded routers
+_COARSE_ROUTER_MIN = 200_000
+
+
+def _r128(x):
+    return max(((int(x) + 127) // 128) * 128, 128)
+
+
+def _on_tpu():
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# small coarse level: plain gathers (CPU tests / small grids)
+# ---------------------------------------------------------------------------
+class _CoarseGather:
+    """Coarse accumulation via the DFS plan + XLA gathers (small m)."""
+
+    def __init__(self, dfs: DfsPlan, in_slot, out_slot, n_in, n_out):
+        self.dfs = dfs
+        self.n_in = int(n_in)
+        self.n_out = int(n_out)
+        self.in_slot = np.asarray(in_slot, np.int64)
+        osel = np.asarray(out_slot, np.int64) >= 0
+        self.src_nodes = np.nonzero(osel)[0].astype(np.int32)
+        self.dst_slots = np.asarray(out_slot, np.int64)[osel].astype(np.int32)
+
+    def arrays(self):
+        return {
+            "in_slot": jnp.asarray(self.in_slot.astype(np.int32)),
+            "src": jnp.asarray(self.src_nodes),
+            "dst": jnp.asarray(self.dst_slots),
+        }
+
+    def accumulate(self, x_flat, arrs=None):
+        if arrs is None:
+            arrs = self.arrays()
+        xn = jnp.take(x_flat, arrs["in_slot"])
+        acc = accumulate_planned(self.dfs, xn)
+        out = jnp.zeros(self.n_out, acc.dtype)
+        return out.at[arrs["dst"]].set(jnp.take(acc, arrs["src"]), mode="drop")
+
+
+# ---------------------------------------------------------------------------
+# device bodies (shared between the Pallas kernels and the XLA fallback)
+# ---------------------------------------------------------------------------
+def _taa(v, idx):
+    """Lane take_along_axis on 2-D arrays (Mosaic-native on TPU)."""
+    return jnp.take_along_axis(v, idx.astype(jnp.int32), axis=-1)
+
+
+def _split_planes(c):
+    """int32 -> exact (hi, lo) float32 planes: c == hi * 2^16 + lo with
+    |hi| <= 2^15, |lo| <= 2^15 (both exactly representable in f32)."""
+    lo0 = jnp.bitwise_and(c, 0xFFFF)
+    wrap = lo0 >= 32768
+    lo = jnp.where(wrap, lo0 - 65536, lo0)
+    hi = jnp.right_shift(c, 16) + wrap.astype(jnp.int32)
+    return (hi.astype(jnp.float32), lo.astype(jnp.float32))
+
+
+def _to_planes(c, cfg):
+    """Selection-matmul planes of ``c``: exact signed-16-bit f32 pair for
+    int32 (TPU), a single f32/f64 plane otherwise (f64 is exact for int64
+    magnitudes < 2^53)."""
+    if cfg["split"]:
+        return _split_planes(c)
+    return (c.astype(cfg["fdt"]),)
+
+
+def _combine_planes(planes, cfg):
+    if not cfg["split"]:
+        return planes[0].astype(cfg["acc"])
+    hi, lo = planes
+    return hi.astype(jnp.int32) * 65536 + lo.astype(jnp.int32)
+
+
+def _local_chain(v, i1, is1, ig, is2, i3, G):
+    """RouterPlan._chain inlined on a (Y, 128) VMEM value; the G stage is
+    skipped when G == 1 (identity)."""
+    S = _S
+    v = _taa(v, i1)
+    v = v.reshape(G, S, S).transpose(0, 2, 1)
+    v = _taa(v.reshape(G * S, S), is1)
+    if G > 1:
+        v = v.reshape(G, S, S).transpose(2, 1, 0)
+        v = _taa(v.reshape(S * S, G), ig)
+        v = v.reshape(S, S, G).transpose(2, 1, 0)
+    v = _taa(v.reshape(G * S, S), is2)
+    v = v.reshape(G, S, S).transpose(0, 2, 1)
+    return _taa(v.reshape(G * S, S), i3)
+
+
+def _shift_right(v, s, axis):
+    pad = jnp.zeros_like(lax.slice_in_dim(v, 0, s, axis=axis))
+    body = lax.slice_in_dim(v, 0, v.shape[axis] - s, axis=axis)
+    return jnp.concatenate([pad, body], axis=axis)
+
+
+def _cumsum_axis(v, axis):
+    """Inclusive Hillis-Steele prefix sum (Pallas-lowerable: slices,
+    concats and adds only; exact for integers)."""
+    n, s = v.shape[axis], 1
+    while s < n:
+        v = v + _shift_right(v, s, axis)
+        s *= 2
+    return v
+
+
+def _cumsum_tile(w):
+    """Flat (row-major) inclusive prefix sum of a (Y, 128) VMEM value."""
+    crow = _cumsum_axis(w, 1)
+    rows = crow[:, -1:]
+    r_incl = _cumsum_axis(rows, 0)
+    return crow + (r_incl - rows)
+
+
+def _sel_gather(planes, er, el, Y):
+    """MXU one-hot selection ``out[q] = c[er[q] * 128 + el[q]]`` for a
+    compact (Fr, 128) table of static positions; exact per plane."""
+    Fr = er.shape[0]
+    fdt = planes[0].dtype
+    erf = er.reshape(Fr * _S, 1).astype(jnp.int32)
+    oh_r = (erf == lax.broadcasted_iota(jnp.int32, (Fr * _S, Y), 1)).astype(fdt)
+    elf = el.reshape(Fr * _S, 1).astype(jnp.int32)
+    oh_l = (elf == lax.broadcasted_iota(jnp.int32, (Fr * _S, _S), 1)).astype(fdt)
+    out = []
+    for p in planes:
+        rows = jnp.dot(oh_r, p, precision=_HIGH)
+        out.append(jnp.sum(rows * oh_l, axis=1).reshape(Fr, _S))
+    return out
+
+
+def _flat_prev(v):
+    """``prev[j] = v[j-1]`` over the flat row-major view of (R, 128),
+    with prev[0] = 0."""
+    lane = lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    idx_prev = jnp.mod(lane - 1, _S)
+    zrow = jnp.zeros((1, v.shape[1]), v.dtype)
+    v_prevrow = jnp.concatenate([zrow, v[:-1]], axis=0)
+    return jnp.where(lane == 0, _taa(v_prevrow, idx_prev), _taa(v, idx_prev))
+
+
+def _entry_delta(entA, erow, elane, Y, cfg):
+    """Scatter entry values to their preorder positions as a dense (Y, 128)
+    source term via two one-hot matmuls (duplicate positions sum)."""
+    E = entA.shape[0]
+    fdt = cfg["fdt"]
+    oh1 = (
+        lax.broadcasted_iota(jnp.int32, (Y, E), 0)
+        == erow.reshape(1, E).astype(jnp.int32)
+    ).astype(fdt)
+    oh2 = (
+        elane.reshape(E, 1).astype(jnp.int32)
+        == lax.broadcasted_iota(jnp.int32, (E, _S), 1)
+    ).astype(fdt)
+    planes = _to_planes(entA, cfg)
+    outs = [
+        jnp.dot(oh1 * p.reshape(1, E), oh2, precision=_HIGH) for p in planes
+    ]
+    return _combine_planes(outs, cfg)
+
+
+def _deliver(cfs, rlo, bhi, blo, Y):
+    """Monotone row-pair delivery of the compact far values to their dense
+    preorder rows: out[r, l] = cf.ravel()[rlo[r] * 128 + b[r, l]]."""
+    Fr = cfs[0].shape[0]
+    fdt = cfs[0].dtype
+    io = lax.broadcasted_iota(jnp.int32, (Y, Fr), 1)
+    rl = rlo.reshape(Y, 1).astype(jnp.int32)
+    oh_lo = (rl == io).astype(fdt)
+    oh_hi = (jnp.minimum(rl + 1, Fr - 1) == io).astype(fdt)
+    hi_m = bhi != 0
+    out = []
+    for cf in cfs:
+        g_lo = jnp.dot(oh_lo, cf, precision=_HIGH)
+        g_hi = jnp.dot(oh_hi, cf, precision=_HIGH)
+        out.append(jnp.where(hi_m, _taa(g_hi, blo), _taa(g_lo, blo)))
+    return out
+
+
+def _rin_tabs(tb):
+    return (tb["rin_i1"], tb["rin_is1"], tb.get("rin_ig"), tb["rin_is2"], tb["rin_i3"])
+
+
+def _rout_tabs(tb):
+    return (
+        tb["rout_i1"],
+        tb["rout_is1"],
+        tb.get("rout_ig"),
+        tb["rout_is2"],
+        tb["rout_i3"],
+    )
+
+
+def _body_a(x, tb, cfg):
+    """Pass A on one (Y, 128) tile: local-root subtree sums (R_rows, 128)."""
+    v = _local_chain(x, *_rin_tabs(tb), cfg["G"])
+    c = _cumsum_tile(v)
+    ce = _sel_gather(_to_planes(c, cfg), tb["exit_er"], tb["exit_el"], cfg["Y"])
+    ce = _combine_planes(ce, cfg)
+    return ce - _flat_prev(ce)
+
+
+def _body_c(x, entA, tb, cfg):
+    """Pass C on one (Y, 128) tile: final accumulation in raster order."""
+    Y, G = cfg["Y"], cfg["G"]
+    v = _local_chain(x, *_rin_tabs(tb), G)
+    if cfg["has_entries"]:
+        v = v + _entry_delta(entA, tb["entry_row"], tb["entry_lane"], Y, cfg)
+    c = _cumsum_tile(v)
+
+    zrow = jnp.zeros((1, _S), c.dtype)
+    c_next = jnp.concatenate([c[1:], zrow], axis=0)
+    g_near = jnp.where(
+        tb["sel_next"] != 0,
+        _taa(c_next, tb["idx_near"]),
+        _taa(c, tb["idx_near"]),
+    )
+    g_prev = _flat_prev(c)
+
+    zero = jnp.zeros((), c.dtype)
+    outp = jnp.where(tb["near_sel"] != 0, g_near, zero) - g_prev
+    if cfg["has_far"]:
+        cf = _sel_gather(_to_planes(c, cfg), tb["far_er"], tb["far_el"], Y)
+        fv = _deliver(cf, tb["far_rlo"], tb["far_bhi"], tb["far_blo"], Y)
+        far_v = _combine_planes(fv, cfg)
+        outp = outp + jnp.where(tb["far_sel"] != 0, far_v, zero)
+
+    out = _local_chain(outp, *_rout_tabs(tb), G)
+    return jnp.where(tb["tree_mask"] != 0, out, x)
+
+
+# ---------------------------------------------------------------------------
+# the plan
+# ---------------------------------------------------------------------------
+class TilePlan:
+    """Per-graph hierarchical accumulation plan over raster tiles."""
+
+    # table names by pass; shapes are per tile and stacked over NT
+    _A_KEYS = ("rin_i1", "rin_is1", "rin_is2", "rin_i3", "exit_er", "exit_el")
+    _C_KEYS = (
+        "rin_i1",
+        "rin_is1",
+        "rin_is2",
+        "rin_i3",
+        "rout_i1",
+        "rout_is1",
+        "rout_is2",
+        "rout_i3",
+        "idx_near",
+        "sel_next",
+        "near_sel",
+        "tree_mask",
+    )
+    _C_FAR = ("far_er", "far_el", "far_rlo", "far_bhi", "far_blo", "far_sel")
+    _C_ENT = ("entry_row", "entry_lane")
+
+    def __init__(self, idxs_ds_np, shape, tile_rows=128):
+        H, W = map(int, shape)
+        th = int(tile_rows)
+        if th % _S or th > 512:
+            raise ValueError("tile_rows must be a multiple of 128, <= 512")
+        self.shape = (H, W)
+        Hp = -(-H // th) * th
+        Wp = -(-W // _S) * _S
+        self.pshape = (Hp, Wp)
+        self.Y = th
+        self.G = th // _S
+        T = th * _S
+        nty, ntx = Hp // th, Wp // _S
+        NT = nty * ntx
+        self.grid = (nty, ntx)
+        self.NT = NT
+
+        ids0 = np.asarray(idxs_ds_np, dtype=np.int64).ravel()
+        n0 = ids0.size
+        if n0 != H * W:
+            raise ValueError("idxs_ds size does not match shape")
+        n = Hp * Wp
+        if (Hp, Wp) != (H, W):
+            v0 = ids0 >= 0
+            src = np.arange(n0, dtype=np.int64)
+            new_of = (src // W) * Wp + src % W
+            ids_p = np.full(n, -1, dtype=np.int64)
+            tgt = np.full(n0, -1, dtype=np.int64)
+            tgt[v0] = (ids0[v0] // W) * Wp + ids0[v0] % W
+            ids_p[new_of] = tgt
+        else:
+            ids_p = ids0
+
+        cell = np.arange(n, dtype=np.int64)
+        r, c = cell // Wp, cell % Wp
+        tile = (r // th) * ntx + c // _S
+        loc = (r % th) * _S + c % _S
+        valid = ids_p >= 0
+        tds = np.full(n, -1, dtype=np.int64)
+        dsv = ids_p[valid]
+        tds[valid] = (dsv // Wp // th) * ntx + (dsv % Wp) // _S
+        same = valid & (tds == tile) & (ids_p != cell)
+        local_union = np.where(same, ids_p, np.where(valid, cell, -1))
+
+        # one native DFS over the union-of-tile-forests graph: pos/size are
+        # per-tile-valid; per-tile preorder = global preorder restricted to
+        # the tile (trees stay contiguous, intervals map to intervals)
+        dfs = build_plan(local_union, fast=False)
+        pos = dfs.pos_np.astype(np.int64)
+        size = dfs.size_np.astype(np.int64)
+        on = pos >= 0
+        n_on = int(on.sum())
+
+        on_cells = np.nonzero(on)[0]
+        order_on = np.lexsort((pos[on_cells], tile[on_cells]))
+        cells_sorted = on_cells[order_on]
+        cnt_on = np.bincount(tile[on_cells], minlength=NT).astype(np.int64)
+        off_on = np.concatenate([[0], np.cumsum(cnt_on)])
+        slot = np.full(n, -1, dtype=np.int64)
+        slot[cells_sorted] = np.arange(n_on) - np.repeat(off_on[:-1], cnt_on)
+
+        # local cell -> preorder permutations, one bijection per tile
+        sig = np.full((NT, T), -1, dtype=np.int64)
+        sig[tile[on_cells], slot[on_cells]] = loc[on_cells]
+        off_cells = np.nonzero(~on)[0]
+        order_off = np.lexsort((loc[off_cells], tile[off_cells]))
+        off_cells = off_cells[order_off]
+        cnt_off = np.bincount(tile[off_cells], minlength=NT).astype(np.int64)
+        coff = np.concatenate([[0], np.cumsum(cnt_off)])
+        rank_off = np.arange(off_cells.size) - np.repeat(coff[:-1], cnt_off)
+        sig[tile[off_cells], cnt_on[tile[off_cells]] + rank_off] = loc[off_cells]
+
+        self._build_routers(sig)
+        self._tabs_np = getattr(self, "_tabs_np", {})
+        tabs = self._tabs_np
+
+        # near tables, (NT * T,) flat then reshaped (NT, Y, 128)
+        d = np.zeros(n, dtype=np.int64)
+        d[on] = size[on] - 1
+        fkey = tile * T + slot  # flat (tile, slot) address of on-tree cells
+        near_sel = np.zeros(NT * T, dtype=np.int8)
+        idx_near = np.zeros(NT * T, dtype=np.int8)
+        sel_next = np.zeros(NT * T, dtype=np.int8)
+        near_c = on & (d < _S)
+        ln = (slot[near_c] % _S) + d[near_c]
+        near_key = fkey[near_c]
+        near_sel[near_key] = 1
+        idx_near[near_key] = (ln % _S).astype(np.int8)
+        sel_next[near_key] = (ln >= _S).astype(np.int8)
+        tabs["near_sel"] = near_sel.reshape(NT, th, _S)
+        tabs["idx_near"] = idx_near.reshape(NT, th, _S)
+        tabs["sel_next"] = sel_next.reshape(NT, th, _S)
+        tree_mask = np.zeros(NT * T, dtype=np.int8)
+        tree_mask[tile[on_cells] * T + loc[on_cells]] = 1  # raster layout
+        tabs["tree_mask"] = tree_mask.reshape(NT, th, _S)
+
+        # far tables: compact per tile, sorted by preorder slot
+        far_c = np.nonzero(on & (d >= _S))[0]
+        far_c = far_c[np.lexsort((slot[far_c], tile[far_c]))]
+        cnt_far = np.bincount(tile[far_c], minlength=NT).astype(np.int64)
+        self.has_far = far_c.size > 0
+        F_pad = _r128(cnt_far.max()) if self.has_far else 0
+        self.F_rows = F_pad // _S
+        if self.has_far:
+            foff = np.concatenate([[0], np.cumsum(cnt_far)])
+            q = np.arange(far_c.size) - np.repeat(foff[:-1], cnt_far)
+            e = slot[far_c] + d[far_c]
+            far_er = np.full((NT, F_pad), th, dtype=np.int16)
+            far_el = np.zeros((NT, F_pad), dtype=np.int8)
+            far_er[tile[far_c], q] = (e // _S).astype(np.int16)
+            far_el[tile[far_c], q] = (e % _S).astype(np.int8)
+            tabs["far_er"] = far_er.reshape(NT, self.F_rows, _S)
+            tabs["far_el"] = far_el.reshape(NT, self.F_rows, _S)
+            # delivery: per dense row, the q-range starts at rlo*128 + b
+            far_sel = np.zeros(NT * T, dtype=np.int8)
+            far_sel[fkey[far_c]] = 1
+            tabs["far_sel"] = far_sel.reshape(NT, th, _S)
+            rowkey = tile[far_c] * th + slot[far_c] // _S
+            qmin = np.full(NT * th, 0, dtype=np.int64)
+            first = np.unique(rowkey, return_index=True)
+            qmin[first[0]] = q[first[1]]
+            rlo = qmin // _S
+            b = np.zeros(NT * T, dtype=np.int64)
+            b[fkey[far_c]] = q - rlo[rowkey] * _S
+            if b.max() >= 2 * _S:
+                raise AssertionError("far row spans more than a compact row pair")
+            tabs["far_rlo"] = rlo.astype(np.int16).reshape(NT, th)
+            tabs["far_bhi"] = (b >= _S).astype(np.int8).reshape(NT, th, _S)
+            tabs["far_blo"] = (b % _S).astype(np.int8).reshape(NT, th, _S)
+
+        # exits: local roots in slot order; consecutive-interval ends
+        root_c = np.nonzero(on & (local_union == cell))[0]
+        root_c = root_c[np.lexsort((slot[root_c], tile[root_c]))]
+        cnt_r = np.bincount(tile[root_c], minlength=NT).astype(np.int64)
+        R_pad = _r128(cnt_r.max() if root_c.size else 0)
+        self.R_rows = R_pad // _S
+        roff = np.concatenate([[0], np.cumsum(cnt_r)])
+        j = np.arange(root_c.size) - np.repeat(roff[:-1], cnt_r)
+        starts = slot[root_c]
+        ends = np.empty_like(starts)
+        ends[:-1] = starts[1:] - 1
+        if root_c.size:
+            ends[-1] = 0
+            last = roff[1:] - 1  # last root of each non-empty tile
+            last = last[cnt_r > 0]
+            ends[last] = cnt_on[tile[root_c[last]]] - 1
+        exit_er = np.full((NT, R_pad), th, dtype=np.int16)
+        exit_el = np.zeros((NT, R_pad), dtype=np.int8)
+        exit_er[tile[root_c], j] = (ends // _S).astype(np.int16)
+        exit_el[tile[root_c], j] = (ends % _S).astype(np.int8)
+        tabs["exit_er"] = exit_er.reshape(NT, self.R_rows, _S)
+        tabs["exit_el"] = exit_el.reshape(NT, self.R_rows, _S)
+
+        # ---- coarse graph over roots -----------------------------------
+        m = root_c.size
+        in_slot = tile[root_c] * R_pad + j
+        # node id of the local root of any on-tree cell: roots are tree
+        # starts, trees are contiguous in the per-tile preorder
+        root_node = np.full(n, -1, dtype=np.int64)
+        if m:
+            lens = np.empty(m, dtype=np.int64)
+            lens[:-1] = starts[1:] - starts[:-1]
+            lens[-1] = cnt_on[tile[root_c[-1]]] - starts[-1]
+            # the last root of each tile reaches to its tile's tree end
+            lens[last] = cnt_on[tile[root_c[last]]] - starts[last]
+            root_node[cells_sorted] = np.repeat(np.arange(m), lens)
+        is_pit = ids_p[root_c] == root_c
+        ecell = np.where(is_pit, root_c, ids_p[root_c])
+        e_on = pos[ecell] >= 0
+        coarse_ds = np.full(m, -1, dtype=np.int64)
+        coarse_ds[is_pit] = np.nonzero(is_pit)[0]
+        live = (~is_pit) & e_on
+        coarse_ds[live] = root_node[ecell[live]]
+
+        # entries: one per live root, grouped by destination tile
+        ent_nodes = np.nonzero(live)[0]
+        t2 = tile[ecell[ent_nodes]]
+        order_e = np.lexsort((ent_nodes, t2))
+        ent_nodes = ent_nodes[order_e]
+        t2 = t2[order_e]
+        cnt_e = np.bincount(t2, minlength=NT).astype(np.int64)
+        self.has_entries = ent_nodes.size > 0
+        E_pad = _r128(cnt_e.max()) if self.has_entries else 0
+        self.E_pad = E_pad
+        out_slot = np.full(m, -1, dtype=np.int64)
+        if self.has_entries:
+            eoff = np.concatenate([[0], np.cumsum(cnt_e)])
+            j2 = np.arange(ent_nodes.size) - np.repeat(eoff[:-1], cnt_e)
+            out_slot[ent_nodes] = t2 * E_pad + j2
+            es = slot[ecell[ent_nodes]]
+            entry_row = np.full((NT, E_pad), th, dtype=np.int16)
+            entry_lane = np.zeros((NT, E_pad), dtype=np.int8)
+            entry_row[t2, j2] = (es // _S).astype(np.int16)
+            entry_lane[t2, j2] = (es % _S).astype(np.int8)
+            tabs["entry_row"] = entry_row
+            tabs["entry_lane"] = entry_lane
+
+        self.n_exit_flat = NT * R_pad
+        dfs_c = build_plan(coarse_ds, fast=False)
+        if max(self.n_exit_flat, NT * max(E_pad, 1)) >= _COARSE_ROUTER_MIN:
+            self.coarse = BigAccelPlan(
+                dfs_c, coarse_ds, in_slot=in_slot, out_slot=out_slot
+            )
+            if not self.coarse.ok:
+                raise ValueError("coarse graph exceeds router capacity")
+        else:
+            self.coarse = _CoarseGather(
+                dfs_c, in_slot, out_slot, self.n_exit_flat, NT * max(E_pad, 1)
+            )
+
+        self._dev = None
+
+    # -- router construction -------------------------------------------
+    def _build_routers(self, sig):
+        """Per-tile local routers (one coloring each; R_out is the free
+        algebraic inverse), threaded over tiles (native colorer releases
+        the GIL)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        NT = sig.shape[0]
+        Y, G = self.Y, self.G
+
+        def one(t):
+            rin = RouterPlan.build(sig[t])
+            rout = rin.inverse()
+            return rin, rout
+
+        with ThreadPoolExecutor(4) as ex:
+            plans = list(ex.map(one, range(NT)))
+
+        tabs = {}
+        for pref, idx in (("rin", 0), ("rout", 1)):
+            tabs[f"{pref}_i1"] = np.stack([p[idx].i1_np for p in plans])
+            tabs[f"{pref}_is1"] = np.stack([p[idx].iS1_np for p in plans])
+            tabs[f"{pref}_is2"] = np.stack([p[idx].iS2_np for p in plans])
+            tabs[f"{pref}_i3"] = np.stack([p[idx].i3_np for p in plans])
+            if G > 1:
+                tabs[f"{pref}_ig"] = np.stack([p[idx].iGp_np for p in plans])
+        self._tabs_np = tabs
+
+    # -- device arrays --------------------------------------------------
+    def arrays(self):
+        """Device pytree for :meth:`accumulate`'s ``arrs`` argument (pass
+        as a jit argument to keep plan tensors out of the executable)."""
+        if self._dev is None:
+            dev = {k: jnp.asarray(v) for k, v in self._tabs_np.items()}
+            dev["coarse"] = self.coarse.arrays()
+            if any(
+                isinstance(x, jax.core.Tracer) for x in jax.tree_util.tree_leaves(dev)
+            ):
+                return dev
+            self._dev = dev
+        return self._dev
+
+    def _cfg(self, acc, split, fdt):
+        return {
+            "Y": self.Y,
+            "G": self.G,
+            "acc": acc,
+            "split": split,
+            "fdt": fdt,
+            "has_far": self.has_far,
+            "has_entries": self.has_entries,
+        }
+
+    def _keys(self, which):
+        keys = list(self._A_KEYS if which == "a" else self._C_KEYS)
+        if which == "c" and self.has_far:
+            keys += list(self._C_FAR)
+        if which == "c" and self.has_entries:
+            keys += list(self._C_ENT)
+        if self.G > 1:
+            keys += ["rin_ig"] if which == "a" else ["rin_ig", "rout_ig"]
+        return keys
+
+    def _tab_spec(self, pl, vm, name):
+        """BlockSpec selecting tile ``i``'s slice of a stacked table."""
+        shape = self._tabs_np[name].shape
+        zeros = (0,) * (len(shape) - 1)
+        return pl.BlockSpec(
+            (1,) + shape[1:], lambda i, z=zeros: (i,) + z, memory_space=vm
+        )
+
+    # -- execution -------------------------------------------------------
+    def _tiles_cpu(self, xg):
+        nty, ntx = self.grid
+        return (
+            xg.reshape(nty, self.Y, ntx, _S)
+            .transpose(0, 2, 1, 3)
+            .reshape(self.NT, self.Y, _S)
+        )
+
+    def _untile_cpu(self, tz):
+        nty, ntx = self.grid
+        return (
+            tz.reshape(nty, ntx, self.Y, _S)
+            .transpose(0, 2, 1, 3)
+            .reshape(self.pshape)
+        )
+
+    def _pass_a(self, xg, arrs, cfg):
+        keys = self._keys("a")
+        if not _on_tpu():
+            xt = self._tiles_cpu(xg)
+            body = lambda x, *tt: _body_a(x, dict(zip(keys, tt)), cfg)
+            return jax.vmap(body)(xt, *[arrs[k] for k in keys])
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        nty, ntx = self.grid
+        Y = self.Y
+
+        def kern(x_ref, *refs):
+            o_ref = refs[-1]
+            tb = {k: r[0] for k, r in zip(keys, refs[:-1])}
+            o_ref[0] = _body_a(x_ref[...], tb, cfg)
+
+        vm = pltpu.VMEM
+        in_specs = [
+            pl.BlockSpec((Y, _S), lambda k: (k // ntx, k % ntx), memory_space=vm)
+        ] + [self._tab_spec(pl, vm, k) for k in keys]
+        return pl.pallas_call(
+            kern,
+            grid=(self.NT,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, self.R_rows, _S), lambda k: (k, 0, 0), memory_space=vm
+            ),
+            out_shape=jax.ShapeDtypeStruct((self.NT, self.R_rows, _S), xg.dtype),
+        )(xg, *[arrs[k] for k in keys])
+
+    def _pass_c(self, xg, entv, arrs, cfg):
+        keys = self._keys("c")
+        if not _on_tpu():
+            xt = self._tiles_cpu(xg)
+            body = lambda x, ea, *tt: _body_c(x, ea, dict(zip(keys, tt)), cfg)
+            out = jax.vmap(body)(xt, entv, *[arrs[k] for k in keys])
+            return self._untile_cpu(out)
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        nty, ntx = self.grid
+        Y = self.Y
+        Ep = max(self.E_pad, _S)
+
+        def kern(x_ref, e_ref, *refs):
+            o_ref = refs[-1]
+            tb = {k: r[0] for k, r in zip(keys, refs[:-1])}
+            o_ref[...] = _body_c(x_ref[...], e_ref[0], tb, cfg)
+
+        vm = pltpu.VMEM
+        in_specs = [
+            pl.BlockSpec((Y, _S), lambda k: (k // ntx, k % ntx), memory_space=vm),
+            pl.BlockSpec((1, Ep), lambda k: (k, 0), memory_space=vm),
+        ] + [self._tab_spec(pl, vm, k) for k in keys]
+        return pl.pallas_call(
+            kern,
+            grid=(self.NT,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (Y, _S), lambda k: (k // ntx, k % ntx), memory_space=vm
+            ),
+            out_shape=jax.ShapeDtypeStruct(self.pshape, xg.dtype),
+        )(xg, entv, *[arrs[k] for k in keys])
+
+    def accumulate(self, data, arrs=None):
+        """Flow accumulation of ``data`` ((n,) array, raster order).
+
+        Tree cells get their subtree sum, missing cells pass through.
+        Integer inputs are exact (int32 internal; totals below 2^31);
+        float inputs run float32 with per-tile error bounds (see module
+        docstring).  Pass ``arrs=plan.arrays()`` as a jit argument.
+        """
+        if arrs is None:
+            arrs = self.arrays()
+        H, W = self.shape
+        Hp, Wp = self.pshape
+        dtype = data.dtype
+        is_int = jnp.issubdtype(dtype, jnp.integer) or dtype == jnp.bool_
+        x64 = jax.dtypes.canonicalize_dtype(jnp.float64) == jnp.float64
+        if is_int:
+            acc = jnp.int64 if x64 else jnp.int32
+        else:
+            acc = jnp.float64 if x64 else jnp.float32
+        fdt = jnp.float64 if x64 else jnp.float32
+        cfg = self._cfg(acc, is_int and not x64, fdt)
+
+        xg = jnp.asarray(data).reshape(H, W).astype(acc)
+        if (Hp, Wp) != (H, W):
+            xg = jnp.pad(xg, ((0, Hp - H), (0, Wp - W)))
+
+        exits = self._pass_a(xg, arrs, cfg)
+        entv = self.coarse.accumulate(exits.reshape(-1), arrs["coarse"])
+        Ep = max(self.E_pad, _S)
+        pad = self.NT * Ep - entv.shape[0]
+        if pad:
+            entv = jnp.concatenate([entv, jnp.zeros(pad, entv.dtype)])
+        entv = entv.reshape(self.NT, Ep)
+
+        out = self._pass_c(xg, entv, arrs, cfg)
+        if (Hp, Wp) != (H, W):
+            out = out[:H, :W]
+        return out.reshape(-1).astype(dtype)
+
+
+def build_tile_plan(idxs_ds_np, shape, tile_rows=128):
+    """Build a :class:`TilePlan` for a raster graph; raises on coarse
+    overflow (shard across devices instead, see pyflwdir_tpu.parallel)."""
+    return TilePlan(idxs_ds_np, shape, tile_rows=tile_rows)

@@ -390,6 +390,25 @@ class FlwdirRaster(Flwdir):
 
     ### ACCUMULATE ###
 
+    def _accumulate_dev(self, data):
+        """Flow accumulation through the cached hierarchical tile plan
+        (ops/tile_plan.py: per-tile VMEM DFS-interval kernels + a small
+        coarse pass), falling back to the 1-D graph plans
+        (Flwdir._accumulate_dev) for degenerate geometries."""
+        if "tile_plan" not in self._cached:
+            from .ops.tile_plan import build_tile_plan
+
+            try:
+                self._cached["tile_plan"] = build_tile_plan(
+                    self._idxs_ds, self.shape
+                )
+            except Exception:
+                self._cached["tile_plan"] = None
+        tp = self._cached["tile_plan"]
+        if tp is not None:
+            return tp.accumulate(data)
+        return super()._accumulate_dev(data)
+
     def upstream_area(self, unit="cell"):
         """Upstream area map. Parity: pyflwdir.py:770-801."""
         unit = str(unit).lower()
@@ -400,12 +419,10 @@ class FlwdirRaster(Flwdir):
             area = np.ones(self.size, dtype=np.int32)
         else:
             area = np.asarray(self.area).ravel() / geodesy.AREA_FACTORS[unit]
-        # DFS-interval plan path: dense cumsum + gathers, no scatters;
-        # jnp.asarray keeps float64 when x64 is enabled (tests/CPU) and
-        # silently uses float32 otherwise (TPU default)
-        from .ops.plan import accumulate_planned_fast as accumulate_planned
-
-        uparea = np.asarray(accumulate_planned(self._plan, jnp.asarray(area)))
+        # the cached hierarchical tile plan (ops/tile_plan.py) — same fast
+        # path as Flwdir.accuflux/upstream_area; jnp.asarray keeps float64
+        # when x64 is enabled (tests/CPU) and float32 otherwise (TPU)
+        uparea = np.asarray(self._accumulate_dev(jnp.asarray(area)))
         uparea = np.where(np.asarray(self.mask), uparea, -9999)
         out = uparea.astype(np.float64 if area.dtype.kind == "f" else uparea.dtype)
         return out.reshape(self.shape)

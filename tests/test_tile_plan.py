@@ -1,0 +1,94 @@
+"""Hierarchical tile-local accumulation plan (ops/tile_plan.py).
+
+Correctness of the two-level (per-tile VMEM plan + coarse root graph)
+accumulation against the global DFS-interval plan, on DEM-derived D8
+grids covering: multi-tile grids, non-tile-multiple shapes (padding),
+single-tile grids, G = 2 local routers, missing cells, int exactness and
+float tolerance, and the XLA-gather vs router coarse levels.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pyflwdir_tpu.codecs import d8 as d8c
+from pyflwdir_tpu.ops.plan import accumulate_planned, build_plan
+from pyflwdir_tpu.ops.tile_plan import build_tile_plan
+
+
+def _grid(shape, seed=3, holes=True):
+    from pyflwdir_tpu.ops.fill import d8_from_filled, fill_depressions_dev
+
+    H, W = shape
+    rng = np.random.RandomState(seed)
+    z = rng.rand(H, W).astype(np.float32)
+    z += np.add.outer(np.linspace(2, 0, H), np.linspace(2, 0, W)).astype(np.float32)
+    d8 = np.array(d8_from_filled(fill_depressions_dev(z)))
+    if holes:
+        d8[1, 2:5] = 247
+    return d8
+
+
+@pytest.mark.parametrize(
+    "shape,tile_rows",
+    [((256, 256), 128), ((300, 200), 128), ((128, 128), 128), ((512, 384), 256)],
+)
+def test_tile_plan_matches_global(shape, tile_rows):
+    d8 = _grid(shape)
+    idxs_ds, idxs_pit, n_valid = d8c.from_array(d8)
+    tp = build_tile_plan(idxs_ds, shape, tile_rows=tile_rows)
+    gplan = build_plan(idxs_ds, fast=False)
+
+    # exact integer accumulation
+    out = np.asarray(tp.accumulate(jnp.ones(idxs_ds.size, jnp.int32)))
+    want = np.asarray(accumulate_planned(gplan, jnp.ones(idxs_ds.size, jnp.int64)))
+    assert np.array_equal(out.astype(np.int64), want)
+    assert out[idxs_pit].sum() == n_valid
+
+    # float weights vs float64 oracle: per-tile O(eps * magnitude) bound
+    rng = np.random.RandomState(7)
+    w = rng.rand(idxs_ds.size).astype(np.float32)
+    outf = np.asarray(tp.accumulate(jnp.asarray(w)))
+    wantf = np.asarray(accumulate_planned(gplan, jnp.asarray(w, jnp.float64)))
+    scale = max(np.abs(wantf).max(), 1.0)
+    assert np.allclose(outf, wantf, rtol=1e-4, atol=4e-6 * scale)
+
+    # missing cells pass through unchanged
+    mv = np.nonzero(idxs_ds < 0)[0]
+    assert np.array_equal(outf[mv], w[mv])
+
+
+def test_tile_plan_router_coarse():
+    """Force the slot-mode router coarse level (small threshold)."""
+    from pyflwdir_tpu.ops import tile_plan as tpm
+
+    d8 = _grid((256, 256), seed=5)
+    idxs_ds, idxs_pit, n_valid = d8c.from_array(d8)
+    old = tpm._COARSE_ROUTER_MIN
+    tpm._COARSE_ROUTER_MIN = 1
+    try:
+        tp = build_tile_plan(idxs_ds, (256, 256), tile_rows=128)
+        assert not isinstance(tp.coarse, tpm._CoarseGather)
+        out = np.asarray(tp.accumulate(jnp.ones(idxs_ds.size, jnp.int32)))
+        gplan = build_plan(idxs_ds, fast=False)
+        want = np.asarray(
+            accumulate_planned(gplan, jnp.ones(idxs_ds.size, jnp.int64))
+        )
+        assert np.array_equal(out.astype(np.int64), want)
+    finally:
+        tpm._COARSE_ROUTER_MIN = old
+
+
+def test_tile_plan_weighted_int():
+    """Signed integer weights with values crossing the 2^24 f32 ceiling
+    (exercises the exact signed-16-bit plane machinery)."""
+    d8 = _grid((256, 256), seed=11)
+    idxs_ds, _, _ = d8c.from_array(d8)
+    rng = np.random.RandomState(13)
+    w = rng.randint(-1000, 60000, size=idxs_ds.size).astype(np.int32)
+    tp = build_tile_plan(idxs_ds, (256, 256), tile_rows=128)
+    out = np.asarray(tp.accumulate(jnp.asarray(w)))
+    gplan = build_plan(idxs_ds, fast=False)
+    want = np.asarray(accumulate_planned(gplan, jnp.asarray(w, jnp.int64)))
+    assert np.array_equal(out.astype(np.int64), want)

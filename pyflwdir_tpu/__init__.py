@@ -32,6 +32,24 @@ def _enable_compile_cache():
             return
         if getattr(jax.config, "jax_compilation_cache_dir", None):
             return
+        # key the cache directory by platform + host machine so AOT
+        # artifacts never load across incompatible machine types (XLA:CPU
+        # embeds the compile host's vector features in its executables)
+        import hashlib
+        import platform
+
+        machine = f"{platform.system()}-{platform.machine()}".lower()
+        cpu = "cpu"
+        try:
+            # the CPU feature flags are what XLA:CPU AOT artifacts bake in
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith(("flags", "Features")):
+                        cpu = line
+                        break
+        except OSError:
+            cpu = platform.processor() or "cpu"
+        key = f"{machine}-{hashlib.md5(cpu.encode()).hexdigest()[:8]}"
         cache_dir = os.environ.get(
             "PYFLWDIR_TPU_CACHE_DIR",
             os.path.join(
@@ -40,6 +58,7 @@ def _enable_compile_cache():
                 ),
                 "pyflwdir_tpu",
                 "jax",
+                key,
             ),
         )
         jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache_dir))

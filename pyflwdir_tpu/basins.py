@@ -136,68 +136,86 @@ def subbasins_pfafstetter(
     trib_mask = (strord_np > 0) & (strord_np > strord_np[ds_np])
     idxs_trib = np.where(trib_mask)[0]
 
-    pfaf_branch = np.zeros(n, dtype=np.int64)
-    idxs = []
-    labs = []
-    pfaf0 = 1
-    for d0 in range(1, depth):
-        pfaf0 += 10**d0
+    # Level-synchronous subdivision over explicit stem arrays.  Each
+    # branch record carries its full main stem (outlet-first); the
+    # Pfafstetter rules then become slice assignments on that array:
+    # the i-th (downstream-first) of the 4 largest tributaries takes code
+    # +(2i+1)*step, and the parent-stem segment above its confluence is
+    # relabelled +(2i+2)*step — assigning the tail slice per tributary in
+    # downstream-to-upstream order leaves exactly the between-confluence
+    # segments with their interbasin codes.
+    pfaf = np.zeros(n, dtype=np.int64)
+    outlets = []
+    registered = set()
 
-    def _propagate_main_stem(idx, label):
-        """walk up the main stem labelling cells until leaving the
-        depth-limited stream order network"""
-        while True:
-            idx = us_main_np[idx]
-            if idx < 0 or strord_np[idx] == 0:
-                break
-            pfaf_branch[idx] = label
+    def _stem(outlet):
+        """Main-stem cells strictly upstream of ``outlet`` inside the
+        depth-limited stream-order network."""
+        cells = []
+        j = int(us_main_np[outlet])
+        while j >= 0 and strord_np[j] != 0:
+            cells.append(j)
+            j = int(us_main_np[j])
+        return np.asarray(cells, dtype=np.int64)
 
-    for i, idx in enumerate(np.asarray(idxs_pit_np)):
-        idxs.append(int(idx))
-        pfaf1 = pfaf0 + (i + 1) * 10**depth
-        labs.append((pfaf1, 1))
-        pfaf_branch[idx] = pfaf1
-        _propagate_main_stem(int(idx), pfaf1)
+    def _register(outlet, code, stem):
+        pfaf[outlet] = code
+        if stem.size:
+            pfaf[stem] = code
+        outlets.append(int(outlet))
+        registered.add(int(outlet))
 
-    while labs:
-        pfaf0_, d0 = labs.pop(0)
-        sel = idxs_trib[
-            (pfaf_branch[idxs_trib] == 0)
-            & (pfaf_branch[ds_np[idxs_trib]] == pfaf0_)
-        ]
-        if sel.size == 0:
-            continue
-        # 4 largest subbasins, then ordered down- to upstream
-        sel_s = sel[np.argsort(-upa_np[sel], kind="stable")]
-        trib0 = sel_s[:4]
-        trib0s = trib0[np.argsort(-upa_np[ds_np[trib0]], kind="stable")]
-        pfaf_int_ds = pfaf0_
-        for i, idx in enumerate(trib0s):
-            idxs.append(int(idx))
-            idx1 = us_main_np[ds_np[idx]]  # interbasin outlet
-            pfaf_sub = pfaf0_ + (i * 2 + 1) * 10 ** (depth - d0)
-            pfaf_branch[idx] = pfaf_sub
-            _propagate_main_stem(int(idx), pfaf_sub)
-            if d0 < depth:
-                labs.append((pfaf_sub, d0 + 1))
-            if int(idx1) not in idxs:
-                idxs.append(int(idx1))
-                pfaf_int = pfaf0_ + (i + 1) * 2 * 10 ** (depth - d0)
-                pfaf_branch[idx1] = pfaf_int
-                j = int(idx1)
-                while True:
-                    j = us_main_np[j]
-                    if j < 0 or pfaf_branch[j] != pfaf_int_ds:
-                        break
-                    pfaf_branch[j] = pfaf_int
-                pfaf_int_ds = pfaf_int
+    base = sum(10**d for d in range(depth))  # 1, 11, 111, ...
+    level = []  # (outlet-first stem incl. outlet, code, subdivision depth)
+    for i, pit in enumerate(np.asarray(idxs_pit_np)):
+        code = base + (i + 1) * 10**depth
+        stem = _stem(int(pit))
+        _register(int(pit), code, stem)
+        level.append((np.concatenate([[int(pit)], stem]), code, 1))
+
+    while level:
+        deeper = []
+        for stem, code, d0 in level:
+            step = 10 ** (depth - d0)
+            # unlabelled tributaries whose confluence lies on this stem
+            order = np.argsort(stem, kind="stable")
+            ssort = stem[order]
+            dst = ds_np[idxs_trib]
+            p = np.clip(np.searchsorted(ssort, dst), 0, stem.size - 1)
+            on = (ssort[p] == dst) & (pfaf[idxs_trib] == 0)
+            cand = idxs_trib[on]
+            if cand.size == 0:
+                continue
+            cpos = order[p[on]]  # confluence position along the stem
+            big4 = np.argsort(-upa_np[cand], kind="stable")[:4]
+            dsf = np.argsort(cpos[big4], kind="stable")  # downstream first
+            for i, (trib, p0) in enumerate(
+                zip(cand[big4][dsf], cpos[big4][dsf])
+            ):
+                tstem = _stem(int(trib))
+                _register(int(trib), code + (2 * i + 1) * step, tstem)
                 if d0 < depth:
-                    labs.append((pfaf_int, d0 + 1))
+                    deeper.append(
+                        (
+                            np.concatenate([[int(trib)], tstem]),
+                            code + (2 * i + 1) * step,
+                            d0 + 1,
+                        )
+                    )
+                # interbasin: the parent stem above this confluence
+                seg = stem[p0 + 1 :]
+                ib = int(seg[0]) if seg.size else int(us_main_np[stem[p0]])
+                if ib < 0 or ib in registered:
+                    continue
+                code_ib = code + (2 * i + 2) * step
+                _register(ib, code_ib, seg)
+                if d0 < depth:
+                    child = seg if seg.size else np.asarray([ib], dtype=np.int64)
+                    deeper.append((child, code_ib, d0 + 1))
+        level = deeper
 
-    idxs1 = np.array(idxs, dtype=np.asarray(idxs_ds).dtype)
-    filled = graph.fillnodata_upstream(
-        idxs_ds, jnp.asarray(pfaf_branch), 0
-    )
+    idxs1 = np.array(outlets, dtype=np.asarray(idxs_ds).dtype)
+    filled = graph.fillnodata_upstream(idxs_ds, jnp.asarray(pfaf), 0)
     pfafbas = (filled % 10**depth).astype(jnp.int32)
     return pfafbas, idxs1
 

@@ -2,8 +2,9 @@
 
 Host-side equivalents of the reference ``gis_utils.spread2d`` (Dijkstra
 with friction, gis_utils.py:32-114) and ``gis_utils.features``
-(gis_utils.py:490-549). ``spread2d`` uses the native C++ kernel when
-built (see csrc/), with a python heapq fallback of identical semantics.
+(gis_utils.py:490-549). ``spread2d`` requires the native C++ kernels
+(``make -C csrc``, built automatically on first import when a compiler
+is available) and raises a RuntimeError otherwise.
 """
 
 from __future__ import annotations
@@ -47,45 +48,54 @@ def spread2d(obs, msk=None, nodata=0, frc=None, latlon=False, transform=IDENTITY
     )
 
 
-def features(flowpaths, xs=None, ys=None, transform=None, shape=None, **kwargs):
+def features(flowpaths, xs=None, ys=None, transform=None, shape=None, **properties):
     """LineString GeoJSON feature dicts, one per flow path.
 
     Parity: reference ``gis_utils.features`` (gis_utils.py:490-549):
-    properties sampled at the path head; ``pit`` flag from a repeated last
-    index.
+    property maps are sampled at the path head; a repeated final index
+    marks a pit; single-cell paths are dropped.
     """
     if xs is None or ys is None:
         if transform is None or shape is None:
             raise ValueError(
                 "transform and shape should be provided if xs and ys are None"
             )
-        _size = shape[0] * shape[1]
-    else:
-        _size = xs.size
+        size = shape[0] * shape[1]
 
-    for key in kwargs:
-        if not isinstance(kwargs[key], np.ndarray) or kwargs[key].size != _size:
+        def _coords(path):
+            x, y = geodesy.idxs_to_coords(path, transform, shape)
+            return list(zip(np.asarray(x).tolist(), np.asarray(y).tolist()))
+
+    else:
+        xs, ys = np.asarray(xs).ravel(), np.asarray(ys).ravel()
+        size = xs.size
+
+        def _coords(path):
+            return list(zip(xs[path].tolist(), ys[path].tolist()))
+
+    for name, arr in properties.items():
+        if not isinstance(arr, np.ndarray) or arr.size != size:
             raise ValueError(
-                f'Kwargs map "{key}" should be ndarrays of same size as coordinates'
+                f'Kwargs map "{name}" should be ndarrays of same size as coordinates'
             )
+
     feats = []
-    for idxs in flowpaths:
-        n = len(idxs)
-        if n < 2:
+    for path in flowpaths:
+        path = np.asarray(path)
+        if path.size < 2:
             continue
-        idx0 = idxs[0]
-        pit = idxs[-1] == idxs[-2]
-        props = {key: kwargs[key].flat[idx0] for key in kwargs}
-        if xs is None or ys is None:
-            xi, yi = geodesy.idxs_to_coords(idxs, transform, shape)
-            coordinates = list(zip(xi, yi))
-        else:
-            coordinates = [(xs[i], ys[i]) for i in idxs]
+        head = path[0]
+        props = {
+            "idx": head,
+            "idx_ds": path[-1],
+            "pit": path[-1] == path[-2],
+        }
+        props.update({name: arr.flat[head] for name, arr in properties.items()})
         feats.append(
             {
                 "type": "Feature",
-                "geometry": {"type": "LineString", "coordinates": coordinates},
-                "properties": {"idx": idx0, "idx_ds": idxs[-1], "pit": pit, **props},
+                "geometry": {"type": "LineString", "coordinates": _coords(path)},
+                "properties": props,
             }
         )
     return feats

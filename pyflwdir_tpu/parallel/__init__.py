@@ -6,7 +6,9 @@ from .tiled import (
     tiled_accumulate,
     tiled_basins,
     tiled_fill,
+    tiled_hand,
     tiled_rank,
+    tiled_stream_distance,
 )
 
 __all__ = [
@@ -15,5 +17,7 @@ __all__ = [
     "tiled_accumulate",
     "tiled_basins",
     "tiled_fill",
+    "tiled_hand",
     "tiled_rank",
+    "tiled_stream_distance",
 ]

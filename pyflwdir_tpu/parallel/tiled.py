@@ -35,6 +35,8 @@ __all__ = [
     "tiled_rank",
     "tiled_basins",
     "tiled_fill",
+    "tiled_stream_distance",
+    "tiled_hand",
 ]
 
 
@@ -215,6 +217,165 @@ def _fixpoint_step(codes, seed, mode, max_rounds):
     return v.reshape(th, tw), stalled
 
 
+_UNSET = -1e30  # float carry sentinel (below any physical value)
+
+
+def _carry_step(codes, seed, w, cut, mode, max_rounds):
+    """Per-shard body for float cross-tile carries.
+
+    mode "dist": additive path length to the nearest absorbing cell (pit
+    or ``cut``) with per-cell step weights ``w`` (w[i] = length of the
+    step i -> ds(i)). mode "flabel": value of ``seed`` at the nearest
+    downstream ``cut`` cell (label propagation with a float payload, the
+    HAND pattern). Cells that never reach an absorber keep ``_UNSET``.
+    """
+    th, tw = codes.shape
+    n = th * tw
+    local_ds, exit_dr, exit_dc, valid = local_pointers(codes)
+    exit_dr, exit_dc = _kill_off_grid_exits(exit_dr, exit_dc, th, tw)
+    ar = jnp.arange(n, dtype=local_ds.dtype)
+    vflat = valid.ravel()
+    if cut is not None:
+        cutf = cut.ravel() & vflat
+        local_ds = jnp.where(cutf, ar, local_ds)
+        exit_dr = jnp.where(cut, 0, exit_dr)
+        exit_dc = jnp.where(cut, 0, exit_dc)
+    else:
+        cutf = jnp.zeros(n, bool)
+
+    term = reach(local_ds, None)
+    true_root = local_ds[term] == term
+    t_dr = exit_dr.ravel()[term]
+    t_dc = exit_dc.ravel()[term]
+    leaves = (t_dr != 0) | (t_dc != 0)
+    absorb = vflat & true_root & ~leaves
+    exit_term = vflat & true_root & leaves
+    term_r = term // tw + 1 + t_dr
+    term_c = term % tw + 1 + t_dc
+
+    unset = jnp.asarray(_UNSET, jnp.float32)
+    zero = jnp.asarray(0, jnp.float32)
+    if mode == "dist":
+        wflat = jnp.where(vflat, w.ravel().astype(jnp.float32), zero)
+        pw = path_sum(local_ds, wflat).astype(jnp.float32)
+        wcross = jnp.where(exit_term, wflat[term], zero)
+        v0 = jnp.where(absorb, pw, unset)
+    else:
+        # seed value at the absorbing terminal (cut cell, else pit — the
+        # same fallback as graph.reach(stop) in the monolithic kernels)
+        sflat = seed.ravel().astype(jnp.float32)
+        v0 = jnp.where(absorb, sflat[term], unset)
+
+    def body(state):
+        i, v, _ = state
+        halo = _gather_halo(v.reshape(th, tw), unset)
+        tv = halo[term_r, term_c]
+        live = exit_term & (v == unset) & (tv != unset)
+        if mode == "dist":
+            v_new = jnp.where(live, pw + wcross + tv, v)
+        else:
+            v_new = jnp.where(live, tv, v)
+        changed = _psum2(jnp.sum(v_new != v, dtype=jnp.int32))
+        return i + 1, v_new, changed
+
+    def cond(state):
+        i, _, changed = state
+        return (i < max_rounds) & (changed > 0)
+
+    _, v, changed = lax.while_loop(cond, body, (0, v0, jnp.asarray(1, jnp.int32)))
+    stalled = (changed > 0).astype(jnp.int32).reshape(1, 1)
+    return v.reshape(th, tw), stalled
+
+
+def tiled_stream_distance(
+    codes: np.ndarray,
+    mesh: Mesh,
+    mask: np.ndarray | None = None,
+    real_length: bool = True,
+    latlon: bool = False,
+    transform=None,
+    max_rounds: int | None = None,
+):
+    """Downstream distance to the outlet (or to ``mask``) over a D8 code
+    raster sharded over ``mesh``.
+
+    Matches :func:`pyflwdir_tpu.streams.stream_distance` (reference
+    streams.py:272-315): per-cell path length to the nearest pit or
+    masked cell, metric (``real_length``) or in cells;
+    unreachable/missing cells -9999.
+    """
+    from ..codecs import d8 as d8c
+    from ..utils import geodesy
+    from ..utils.affine import IDENTITY
+
+    nrow0, ncol0 = codes.shape
+    codes_p = pad_to_tiles(np.asarray(codes), mesh, fill=247)
+    if real_length:
+        idxs_ds0, _, _ = d8c.from_array(np.asarray(codes))
+        w0 = geodesy.distance_grid(
+            np.asarray(idxs_ds0),
+            (nrow0, ncol0),
+            latlon=latlon,
+            transform=IDENTITY if transform is None else transform,
+        )
+        w = pad_to_tiles(
+            np.asarray(w0, np.float32).reshape(nrow0, ncol0), mesh, fill=0.0
+        )
+    else:
+        step = (d8c._DR_LUT[codes_p] != 0) | (d8c._DC_LUT[codes_p] != 0)
+        w = step.astype(np.float32)
+    cut_p = None
+    if mask is not None:
+        cut_p = pad_to_tiles(np.asarray(mask, bool), mesh, fill=False)
+    if max_rounds is None:
+        max_rounds = int(codes_p.size)
+
+    def step(codes_t, w_t, *rest):
+        cut_t = rest[0] if rest else None
+        return _carry_step(codes_t, None, w_t, cut_t, "dist", max_rounds)
+
+    arrays = (codes_p, w) + ((cut_p,) if cut_p is not None else ())
+    out, stalled = _run_sharded(mesh, step, *arrays)
+    _check_converged(stalled, "stream distance")
+    out = np.asarray(out)[:nrow0, :ncol0]
+    bad = out == _UNSET
+    if real_length:
+        return np.where(bad, -9999.0, out).astype(np.float32)
+    return np.where(bad, -9999, np.rint(out)).astype(np.int32)
+
+
+def tiled_hand(
+    codes: np.ndarray,
+    elevtn: np.ndarray,
+    drain: np.ndarray,
+    mesh: Mesh,
+    nodata: float = -9999.0,
+    max_rounds: int | None = None,
+):
+    """Height above the nearest downstream drain cell, sharded over
+    ``mesh``.
+
+    Matches reference ``dem.height_above_nearest_drain`` (dem.py:299-330):
+    ``hand[i] = elevtn[i] - elevtn[drain_cell(i)]`` telescoped along the
+    flow path; cells that never reach a drain get ``nodata``.
+    """
+    nrow0, ncol0 = codes.shape
+    codes_p = pad_to_tiles(np.asarray(codes), mesh, fill=247)
+    elev_p = pad_to_tiles(np.asarray(elevtn, np.float32), mesh, fill=0.0)
+    drain_p = pad_to_tiles(np.asarray(drain, bool), mesh, fill=False)
+    if max_rounds is None:
+        max_rounds = int(codes_p.size)
+
+    def step(codes_t, elev_t, drain_t):
+        return _carry_step(codes_t, elev_t, None, drain_t, "flabel", max_rounds)
+
+    zdrain, stalled = _run_sharded(mesh, step, codes_p, elev_p, drain_p)
+    _check_converged(stalled, "hand")
+    zdrain = np.asarray(zdrain)[:nrow0, :ncol0]
+    hand = np.asarray(elevtn, np.float64) - zdrain
+    return np.where(zdrain == _UNSET, nodata, hand)
+
+
 def _run_sharded(mesh, fn, *arrays, n_out=2):
     specs = tuple(P("ty", "tx") for _ in arrays)
     out_specs = tuple(P("ty", "tx") for _ in range(n_out))
@@ -371,6 +532,8 @@ def tiled_fill(
     idxs_pit=None,
     connectivity=8,
     max_rounds: int | None = None,
+    max_depth: float = -1.0,
+    elv_max: float | None = None,
 ):
     """Depression filling over a DEM sharded over ``mesh``.
 
@@ -378,10 +541,24 @@ def tiled_fill(
     :mod:`pyflwdir_tpu.ops.fill`) with per-round 8-neighbor halo exchange:
     each round runs one local down+up sweep pair against the neighbors'
     current surface and iterates to the global fixpoint. Matches the host
-    priority-flood surface (max_depth < 0 semantics).
+    priority-flood surface (max_depth < 0 semantics); the capped
+    ``max_depth >= 0`` / ``elv_max`` variants of the single-device
+    ``fill_depressions_dev`` are not implemented for the tiled runtime
+    and raise.
     """
     from ..dem import get_edge
     from ..ops.fill import _sweep
+
+    if max_depth is not None and max_depth >= 0:
+        raise NotImplementedError(
+            "tiled_fill does not support max_depth >= 0; use "
+            "ops.fill.fill_depressions_dev on a single device"
+        )
+    if elv_max is not None:
+        raise NotImplementedError(
+            "tiled_fill does not support elv_max; use "
+            "ops.fill.fill_depressions_dev on a single device"
+        )
 
     dem = np.asarray(dem)
     nrow0, ncol0 = dem.shape

@@ -36,37 +36,67 @@ def region_area(regions, transform=IDENTITY, latlon=False):
     return region_sum(area, regions)
 
 
-def region_slices(regions):
-    """Bounding slices per unique region label. Parity: regions.py:57-82."""
+def _label_extents(regions):
+    """Per-label (row, col) min/max via one grouped scatter reduction.
+
+    Returns (lbs, rmin, rmax, cmin, cmax) for the sorted unique positive
+    labels — the vectorized core shared by :func:`region_slices` and
+    :func:`region_bounds` (no per-region python loop).
+    """
+    regions = np.asarray(regions)
     if regions.ndim != 2:
         raise ValueError('The "regions" array should be two dimensional')
-    lbs = np.unique(regions[regions > 0])
-    if lbs.size == 0:
+    nrow, ncol = regions.shape
+    flat = regions.ravel()
+    cells = np.nonzero(flat > 0)[0]
+    if cells.size == 0:
         raise ValueError("No regions found in data")
-    slices = ndimage.find_objects(regions)
-    slices = [s for s in slices if s is not None]
+    lbs, inv = np.unique(flat[cells], return_inverse=True)
+    rows, cols = cells // ncol, cells % ncol
+    k = lbs.size
+    rmin = np.full(k, nrow, dtype=np.int64)
+    cmin = np.full(k, ncol, dtype=np.int64)
+    rmax = np.full(k, -1, dtype=np.int64)
+    cmax = np.full(k, -1, dtype=np.int64)
+    np.minimum.at(rmin, inv, rows)
+    np.maximum.at(rmax, inv, rows)
+    np.minimum.at(cmin, inv, cols)
+    np.maximum.at(cmax, inv, cols)
+    return lbs, rmin, rmax, cmin, cmax
+
+
+def region_slices(regions):
+    """Bounding slices per unique region label. Parity: regions.py:57-82."""
+    lbs, rmin, rmax, cmin, cmax = _label_extents(regions)
+    slices = [
+        (slice(int(r0), int(r1) + 1), slice(int(c0), int(c1) + 1))
+        for r0, r1, c0, c1 in zip(rmin, rmax, cmin, cmax)
+    ]
     return lbs, slices
 
 
 def region_bounds(regions, transform=IDENTITY):
-    """Bounding boxes per unique region label. Parity: regions.py:85-125."""
-    lbs, slices = region_slices(regions)
+    """Bounding boxes per unique region label. Parity: regions.py:85-125.
+
+    Cell-edge boxes follow directly from the per-label index extents and
+    the affine: the west/east edges of column range [c0, c1] are the two
+    x values ``xoff + c0 * xres`` and ``xoff + (c1 + 1) * xres`` in either
+    order (negative resolutions just swap them), likewise for rows.
+    """
+    lbs, rmin, rmax, cmin, cmax = _label_extents(regions)
     xres, yres = transform[0], transform[4]
-    lons, lats = geodesy.affine_to_coords(transform, regions.shape)
-    iy = np.array([0, -1])
-    ix = iy.copy()
-    if yres < 0:
-        iy = iy[::-1]
-    if xres < 0:
-        ix = ix[::-1]
-    dx = np.abs(xres) / 2
-    dy = np.abs(yres) / 2
-    bboxs = []
-    for yslice, xslice in slices:
-        xmin, xmax = lons[xslice][ix]
-        ymin, ymax = lats[yslice][iy]
-        bboxs.append([xmin - dx, ymin - dy, xmax + dx, ymax + dy])
-    bboxs = np.asarray(bboxs)
+    xoff, yoff = transform[2], transform[5]
+    xa, xb = xoff + cmin * xres, xoff + (cmax + 1) * xres
+    ya, yb = yoff + rmin * yres, yoff + (rmax + 1) * yres
+    bboxs = np.stack(
+        [
+            np.minimum(xa, xb),
+            np.minimum(ya, yb),
+            np.maximum(xa, xb),
+            np.maximum(ya, yb),
+        ],
+        axis=1,
+    )
     total_bbox = np.hstack([bboxs[:, :2].min(axis=0), bboxs[:, 2:].max(axis=0)])
     return lbs, bboxs, total_bbox
 
@@ -107,25 +137,42 @@ def region_dissolve(
     """
     from .gridtools import spread2d
 
-    if idxs is not None and labels is None:
-        labels = regions.flat[idxs]
-    elif labels is not None and idxs is None:
-        labels = np.atleast_1d(labels)
-    else:
-        raise ValueError('Either "labels" or "idxs" must be provided.')
-    if np.unique(labels[labels > 0]).size != labels.size:
-        raise ValueError("Found non-unique or zero-value labels.")
+    regions = np.asarray(regions)
     if regions.ndim != 2:
         raise ValueError('The "regions" array should be two dimensional')
-    regions0 = regions.copy()
-    regions0[np.isin(regions, labels)] = 0
-    assert np.any(regions0 != 0)
+    if (labels is None) == (idxs is None):
+        raise ValueError('Either "labels" or "idxs" must be provided.')
+    if labels is None:
+        labels = regions.flat[np.atleast_1d(idxs)]
+    else:
+        labels = np.atleast_1d(labels)
+    if np.unique(labels[labels > 0]).size != labels.size:
+        raise ValueError("Found non-unique or zero-value labels.")
+
+    # spread the surviving regions into the dissolved area
+    keep = np.where(np.isin(regions, labels), 0, regions)
+    if not np.any(keep != 0):
+        raise ValueError("No regions left to dissolve into")
     out, _, dst = spread2d(
-        regions0, nodata=0, transform=transform, latlon=latlon, **kwargs
+        keep, nodata=0, transform=transform, latlon=latlon, **kwargs
     )
+
     if idxs is None:
-        r, c = zip(*ndimage.minimum_position(dst, regions, labels))
-        idxs = np.asarray(r) * regions.shape[1] + np.asarray(c)
-    labels1 = out.flat[idxs]
-    lut = {old: new for old, new in zip(labels, labels1)}
-    return np.vectorize(lambda x: lut.get(x, x))(regions)
+        # representative cell per dissolved label: its minimum-distance
+        # cell (row-major first on ties), found by one grouped sort
+        sel = np.isin(regions.ravel(), labels)
+        cells = np.nonzero(sel)[0]
+        order = np.lexsort((cells, dst.ravel()[cells], regions.ravel()[cells]))
+        li = regions.ravel()[cells][order]
+        first = np.searchsorted(li, labels)
+        idxs = cells[order][first]
+    idxs = np.atleast_1d(idxs)
+
+    # vectorized relabel: binary search into the sorted dissolved labels
+    new_of = out.flat[idxs]
+    order = np.argsort(labels)
+    src, dst_lb = np.asarray(labels)[order], np.asarray(new_of)[order]
+    flat = regions.ravel()
+    p = np.clip(np.searchsorted(src, flat), 0, src.size - 1)
+    hit = src[p] == flat
+    return np.where(hit, dst_lb[p], flat).reshape(regions.shape)

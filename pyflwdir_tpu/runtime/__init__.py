@@ -1,12 +1,14 @@
-"""Native (C++) host kernels: exact priority-flood, Dijkstra spread, and
-the sequential CPU baseline sweep.
+"""Native (C++) host kernels: exact priority-flood, Dijkstra spread, walk
+engines, IHU repair and the sequential CPU baseline sweep.
 
-The inherently heap-ordered host algorithms (Wang & Liu priority-flood,
-``spread2d``) have native C++ implementations in ``csrc/`` built into
-``libpyflwdir_host.so``. This module loads them via ctypes; if the library
-has not been built, importing the kernel names raises ImportError and
-callers fall back to the pure-python implementations of identical
-semantics.
+The inherently heap-ordered or sequential host algorithms have native C++
+implementations in ``csrc/`` built into ``libpyflwdir_host.so``. This
+module loads them via ctypes; if the library has not been built,
+importing the kernel names raises ImportError and the depending features
+(``fill_depressions``, ``spread2d``, walks, IHU upscaling, stream
+segments, ...) raise a RuntimeError directing to the build. A C++
+toolchain is a hard requirement of those features — there are no python
+fallbacks.
 
 Build: ``make -C csrc`` (done automatically on first import when a
 compiler is available).
@@ -91,8 +93,7 @@ if _lib is not None:
     ):
         """Exact Wang & Liu (2006) priority-flood via the native kernel.
 
-        Same semantics as ``pyflwdir_tpu.dem._fill_depressions_py``
-        (reference dem.py:18-143).
+        Exact reference semantics (dem.py:18-143).
         """
         from ..dem import get_edge
 
@@ -159,8 +160,7 @@ if _lib is not None:
     def spread2d(obs, msk=None, nodata=0, frc=None, latlon=False, transform=None):
         """Dijkstra nearest-observation spread via the native kernel.
 
-        Same semantics as ``pyflwdir_tpu.gridtools._spread2d_py``
-        (reference gis_utils.py:32-114).
+        Exact reference semantics (gis_utils.py:32-114).
         """
         from ..utils import geodesy
         from ..utils.affine import IDENTITY

@@ -115,3 +115,81 @@ def test_tiled_convergence_guard_fires():
     assert np.array_equal(got, want)
     with pytest.raises(RuntimeError, match="did not converge"):
         tiled_rank(d8, mesh, max_rounds=2)
+
+
+@pytest.mark.parametrize("n_devices", [4, 8])
+def test_tiled_stream_distance_matches_monolith(d8_ref_large, n_devices):
+    from pyflwdir_tpu import streams
+    from pyflwdir_tpu.parallel import tiled_stream_distance
+
+    mesh = make_mesh(n_devices)
+    idxs_ds, _, _ = d8c.from_array(d8_ref_large)
+    valid = (idxs_ds >= 0).reshape(d8_ref_large.shape)
+
+    # cells
+    got = tiled_stream_distance(d8_ref_large, mesh, real_length=False)
+    want = np.asarray(
+        streams.stream_distance(
+            jnp.asarray(idxs_ds), d8_ref_large.shape, real_length=False
+        )
+    ).reshape(d8_ref_large.shape)
+    assert np.array_equal(got[valid], want[valid])
+
+    # metres (identity transform) + mask variant
+    got_m = tiled_stream_distance(d8_ref_large, mesh, real_length=True)
+    want_m = np.asarray(
+        streams.stream_distance(
+            jnp.asarray(idxs_ds), d8_ref_large.shape, real_length=True
+        )
+    ).reshape(d8_ref_large.shape)
+    assert np.allclose(got_m[valid], want_m[valid], rtol=1e-5)
+
+    mask = np.zeros(d8_ref_large.shape, bool)
+    mask[::7, ::5] = True
+    got_k = tiled_stream_distance(d8_ref_large, mesh, mask=mask, real_length=False)
+    want_k = np.asarray(
+        streams.stream_distance(
+            jnp.asarray(idxs_ds),
+            d8_ref_large.shape,
+            mask=jnp.asarray(mask.ravel()),
+            real_length=False,
+        )
+    ).reshape(d8_ref_large.shape)
+    assert np.array_equal(got_k[valid], want_k[valid])
+
+
+@pytest.mark.parametrize("n_devices", [4, 8])
+def test_tiled_hand_matches_monolith(d8_ref_large, n_devices):
+    from pyflwdir_tpu import dem as dem_mod
+    from pyflwdir_tpu.parallel import tiled_hand
+
+    mesh = make_mesh(n_devices)
+    idxs_ds, _, _ = d8c.from_array(d8_ref_large)
+    valid = (idxs_ds >= 0).reshape(d8_ref_large.shape)
+    # rank-as-elevation synthetic surface; drains on a sparse lattice
+    rank = np.asarray(graph.rank(jnp.asarray(idxs_ds)))
+    elevtn = (rank.astype(np.float32) + 1.0).reshape(d8_ref_large.shape)
+    drain = np.zeros(d8_ref_large.shape, bool)
+    drain[::4, ::6] = True
+    drain &= valid
+
+    got = tiled_hand(d8_ref_large, elevtn, drain, mesh)
+    want = np.asarray(
+        dem_mod.height_above_nearest_drain(
+            jnp.asarray(idxs_ds),
+            jnp.asarray(drain.ravel()),
+            jnp.asarray(elevtn.ravel()),
+        )
+    ).reshape(d8_ref_large.shape)
+    assert np.allclose(got[valid], want[valid], atol=1e-5)
+
+
+def test_tiled_fill_rejects_capped_variants(d8_ref):
+    from pyflwdir_tpu.parallel import tiled_fill
+
+    mesh = make_mesh(4)
+    dem = np.random.RandomState(3).rand(*d8_ref.shape).astype(np.float32)
+    with pytest.raises(NotImplementedError):
+        tiled_fill(dem, mesh, max_depth=1.0)
+    with pytest.raises(NotImplementedError):
+        tiled_fill(dem, mesh, elv_max=0.5)

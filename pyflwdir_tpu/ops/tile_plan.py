@@ -175,19 +175,25 @@ def _cumsum_tile(w):
     return crow + (r_incl - rows)
 
 
-def _sel_gather(planes, er, el, Y):
-    """MXU one-hot selection ``out[q] = c[er[q] * 128 + el[q]]`` for a
-    compact (Fr, 128) table of static positions; exact per plane."""
+def _sel_gather(planes, er, el, Ysrc):
+    """MXU one-hot selection ``out[r, j] = p[er[r, j], el[r, j]]`` from
+    (Ysrc, 128) source planes, for (Fr, 128) tables of static positions;
+    exact per plane (pure selection, one product per output).
+
+    Layout note: one-hots are built by broadcast compares over a new
+    trailing iota dim and collapsed over *leading* dims only — Mosaic
+    rejects minor-dim-destroying reshapes like (N,) -> (N, 1).
+    """
     Fr = er.shape[0]
     fdt = planes[0].dtype
-    erf = er.reshape(Fr * _S, 1).astype(jnp.int32)
-    oh_r = (erf == lax.broadcasted_iota(jnp.int32, (Fr * _S, Y), 1)).astype(fdt)
-    elf = el.reshape(Fr * _S, 1).astype(jnp.int32)
-    oh_l = (elf == lax.broadcasted_iota(jnp.int32, (Fr * _S, _S), 1)).astype(fdt)
+    io_r = lax.broadcasted_iota(jnp.int32, (Fr, _S, Ysrc), 2)
+    oh_r = (er.astype(jnp.int32)[:, :, None] == io_r).astype(fdt)
+    io_l = lax.broadcasted_iota(jnp.int32, (Fr, _S, _S), 2)
+    oh_l = (el.astype(jnp.int32)[:, :, None] == io_l).astype(fdt)
     out = []
     for p in planes:
-        rows = jnp.dot(oh_r, p, precision=_HIGH)
-        out.append(jnp.sum(rows * oh_l, axis=1).reshape(Fr, _S))
+        rows = jnp.dot(oh_r.reshape(Fr * _S, Ysrc), p, precision=_HIGH)
+        out.append(jnp.sum(rows.reshape(Fr, _S, _S) * oh_l, axis=2))
     return out
 
 
@@ -203,40 +209,31 @@ def _flat_prev(v):
 
 def _entry_delta(entA, erow, elane, Y, cfg):
     """Scatter entry values to their preorder positions as a dense (Y, 128)
-    source term via two one-hot matmuls (duplicate positions sum)."""
-    E = entA.shape[0]
+    source term via one-hot contractions (duplicate positions sum).
+
+    ``entA``/``erow``/``elane`` are (Er, 128) compact tables; the result is
+    ``delta[y, l] = sum_e [row_e == y] * A_e * [lane_e == l]`` computed as
+    one dot_general contracting the flattened entry axis.
+    """
+    Er = entA.shape[0]
     fdt = cfg["fdt"]
-    oh1 = (
-        lax.broadcasted_iota(jnp.int32, (Y, E), 0)
-        == erow.reshape(1, E).astype(jnp.int32)
-    ).astype(fdt)
-    oh2 = (
-        elane.reshape(E, 1).astype(jnp.int32)
-        == lax.broadcasted_iota(jnp.int32, (E, _S), 1)
-    ).astype(fdt)
+    io_y = lax.broadcasted_iota(jnp.int32, (Er, _S, Y), 2)
+    oh_y = (erow.astype(jnp.int32)[:, :, None] == io_y).astype(fdt)
+    io_l = lax.broadcasted_iota(jnp.int32, (Er, _S, _S), 2)
+    oh_l = (elane.astype(jnp.int32)[:, :, None] == io_l).astype(fdt)
     planes = _to_planes(entA, cfg)
-    outs = [
-        jnp.dot(oh1 * p.reshape(1, E), oh2, precision=_HIGH) for p in planes
-    ]
+    outs = []
+    for p in planes:
+        pv = (oh_l * p.astype(fdt)[:, :, None]).reshape(Er * _S, _S)
+        outs.append(
+            lax.dot_general(
+                oh_y.reshape(Er * _S, Y),
+                pv,
+                (((0,), (0,)), ((), ())),
+                precision=_HIGH,
+            )
+        )
     return _combine_planes(outs, cfg)
-
-
-def _deliver(cfs, rlo, bhi, blo, Y):
-    """Monotone row-pair delivery of the compact far values to their dense
-    preorder rows: out[r, l] = cf.ravel()[rlo[r] * 128 + b[r, l]]."""
-    Fr = cfs[0].shape[0]
-    fdt = cfs[0].dtype
-    io = lax.broadcasted_iota(jnp.int32, (Y, Fr), 1)
-    rl = rlo.reshape(Y, 1).astype(jnp.int32)
-    oh_lo = (rl == io).astype(fdt)
-    oh_hi = (jnp.minimum(rl + 1, Fr - 1) == io).astype(fdt)
-    hi_m = bhi != 0
-    out = []
-    for cf in cfs:
-        g_lo = jnp.dot(oh_lo, cf, precision=_HIGH)
-        g_hi = jnp.dot(oh_hi, cf, precision=_HIGH)
-        out.append(jnp.where(hi_m, _taa(g_hi, blo), _taa(g_lo, blo)))
-    return out
 
 
 def _rin_tabs(tb):
@@ -282,8 +279,10 @@ def _body_c(x, entA, tb, cfg):
     zero = jnp.zeros((), c.dtype)
     outp = jnp.where(tb["near_sel"] != 0, g_near, zero) - g_prev
     if cfg["has_far"]:
+        # compact interval-end values c[e] per far cell (preorder order),
+        # then a second selection delivers each dense slot its value
         cf = _sel_gather(_to_planes(c, cfg), tb["far_er"], tb["far_el"], Y)
-        fv = _deliver(cf, tb["far_rlo"], tb["far_bhi"], tb["far_blo"], Y)
+        fv = _sel_gather(cf, tb["far_qer"], tb["far_qel"], cf[0].shape[0])
         far_v = _combine_planes(fv, cfg)
         outp = outp + jnp.where(tb["far_sel"] != 0, far_v, zero)
 
@@ -313,7 +312,7 @@ class TilePlan:
         "near_sel",
         "tree_mask",
     )
-    _C_FAR = ("far_er", "far_el", "far_rlo", "far_bhi", "far_blo", "far_sel")
+    _C_FAR = ("far_er", "far_el", "far_qer", "far_qel", "far_sel")
     _C_ENT = ("entry_row", "entry_lane")
 
     def __init__(self, idxs_ds_np, shape, tile_rows=128):
@@ -429,22 +428,17 @@ class TilePlan:
             far_el[tile[far_c], q] = (e % _S).astype(np.int8)
             tabs["far_er"] = far_er.reshape(NT, self.F_rows, _S)
             tabs["far_el"] = far_el.reshape(NT, self.F_rows, _S)
-            # delivery: per dense row, the q-range starts at rlo*128 + b
+            # delivery: the dense (tile, slot) address of far cell q reads
+            # cf[q // 128, q % 128] — same selection machinery
             far_sel = np.zeros(NT * T, dtype=np.int8)
             far_sel[fkey[far_c]] = 1
             tabs["far_sel"] = far_sel.reshape(NT, th, _S)
-            rowkey = tile[far_c] * th + slot[far_c] // _S
-            qmin = np.full(NT * th, 0, dtype=np.int64)
-            first = np.unique(rowkey, return_index=True)
-            qmin[first[0]] = q[first[1]]
-            rlo = qmin // _S
-            b = np.zeros(NT * T, dtype=np.int64)
-            b[fkey[far_c]] = q - rlo[rowkey] * _S
-            if b.max() >= 2 * _S:
-                raise AssertionError("far row spans more than a compact row pair")
-            tabs["far_rlo"] = rlo.astype(np.int16).reshape(NT, th)
-            tabs["far_bhi"] = (b >= _S).astype(np.int8).reshape(NT, th, _S)
-            tabs["far_blo"] = (b % _S).astype(np.int8).reshape(NT, th, _S)
+            far_qer = np.full(NT * T, self.F_rows, dtype=np.int16)
+            far_qel = np.zeros(NT * T, dtype=np.int8)
+            far_qer[fkey[far_c]] = (q // _S).astype(np.int16)
+            far_qel[fkey[far_c]] = (q % _S).astype(np.int8)
+            tabs["far_qer"] = far_qer.reshape(NT, th, _S)
+            tabs["far_qel"] = far_qel.reshape(NT, th, _S)
 
         # exits: local roots in slot order; consecutive-interval ends
         root_c = np.nonzero(on & (local_union == cell))[0]
@@ -501,6 +495,7 @@ class TilePlan:
         E_pad = _r128(cnt_e.max()) if self.has_entries else 0
         self.E_pad = E_pad
         out_slot = np.full(m, -1, dtype=np.int64)
+        self.E_rows = 1
         if self.has_entries:
             eoff = np.concatenate([[0], np.cumsum(cnt_e)])
             j2 = np.arange(ent_nodes.size) - np.repeat(eoff[:-1], cnt_e)
@@ -510,8 +505,9 @@ class TilePlan:
             entry_lane = np.zeros((NT, E_pad), dtype=np.int8)
             entry_row[t2, j2] = (es // _S).astype(np.int16)
             entry_lane[t2, j2] = (es % _S).astype(np.int8)
-            tabs["entry_row"] = entry_row
-            tabs["entry_lane"] = entry_lane
+            self.E_rows = E_pad // _S
+            tabs["entry_row"] = entry_row.reshape(NT, self.E_rows, _S)
+            tabs["entry_lane"] = entry_lane.reshape(NT, self.E_rows, _S)
 
         self.n_exit_flat = NT * R_pad
         dfs_c = build_plan(coarse_ds, fast=False)
@@ -659,7 +655,6 @@ class TilePlan:
 
         nty, ntx = self.grid
         Y = self.Y
-        Ep = max(self.E_pad, _S)
 
         def kern(x_ref, e_ref, *refs):
             o_ref = refs[-1]
@@ -669,7 +664,7 @@ class TilePlan:
         vm = pltpu.VMEM
         in_specs = [
             pl.BlockSpec((Y, _S), lambda k: (k // ntx, k % ntx), memory_space=vm),
-            pl.BlockSpec((1, Ep), lambda k: (k, 0), memory_space=vm),
+            pl.BlockSpec((1, self.E_rows, _S), lambda k: (k, 0, 0), memory_space=vm),
         ] + [self._tab_spec(pl, vm, k) for k in keys]
         return pl.pallas_call(
             kern,
@@ -709,11 +704,10 @@ class TilePlan:
 
         exits = self._pass_a(xg, arrs, cfg)
         entv = self.coarse.accumulate(exits.reshape(-1), arrs["coarse"])
-        Ep = max(self.E_pad, _S)
-        pad = self.NT * Ep - entv.shape[0]
-        if pad:
+        pad = self.NT * self.E_rows * _S - entv.shape[0]
+        if pad > 0:
             entv = jnp.concatenate([entv, jnp.zeros(pad, entv.dtype)])
-        entv = entv.reshape(self.NT, Ep)
+        entv = entv.reshape(self.NT, self.E_rows, _S)
 
         out = self._pass_c(xg, entv, arrs, cfg)
         if (Hp, Wp) != (H, W):

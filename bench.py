@@ -5,21 +5,25 @@ Two configs, both on the single-chip TPU backend:
 
 * **big** (headline): a synthetic 8192 x 8192 (67.1M cell) DEM-derived D8
   network — the continental-scale regime (BASELINE.json configs 4-5). The
-  kernel is the HBM-scale router accumulation
-  (pyflwdir_tpu.ops.accel_big.BigAccelPlan: three 7-stage static
-  permutation routers + prefix sum; exact int32 accumulation). Reports
-  achieved fraction of HBM speed-of-light from a static bytes-moved
-  account alongside Mgp/s.
-* **rhine**: the reference demo grid (682 x 997), single-chunk fused
-  router kernel (pyflwdir_tpu.ops.accel.AccelPlan).
+  kernel is the hierarchical tile plan
+  (pyflwdir_tpu.ops.tile_plan.TilePlan: per-tile VMEM DFS-interval
+  kernels + a small coarse solve; exact int32 accumulation). **Plan
+  construction is rebuilt and timed on every run** (``plan_build_s``) —
+  nothing about the headline plan is cached. The previous rounds' global
+  7-stage router plan is reported alongside (``router_mgps``; its
+  colorings are disk-cached). Reports achieved fraction of HBM
+  speed-of-light from a static bytes-moved account alongside Mgp/s.
+* **rhine**: the reference demo grid (682 x 997) through the same tile
+  plan that ``FlwdirRaster.upstream_area`` dispatches to (API-level ==
+  plan-level numbers).
 
 The CPU baseline for ``vs_baseline`` is the reference's sequential
 topological sweep (streams.py:37-41) as a native -O3 C++ loop
 (numba-equivalent; the reference publishes no numbers, see BASELINE.md),
-measured on the same grid as the headline metric. Plan construction is
-excluded from both sides (the reference caches its ordering `seq` the
-same way, flwdir.py:164-168); expensive plan artifacts are disk-cached
-under ~/.cache/pyflwdir_tpu/bench.
+measured on the same grid as the headline metric, with its topological
+ordering precomputed (the reference caches `seq`, flwdir.py:164-168).
+The synthetic DEM, its priority flood and the legacy router colorings
+are disk-cached under ~/.cache/pyflwdir_tpu/bench.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -189,21 +193,40 @@ def bytes_moved_per_cell(plan):
     return n_routers * per_router + cumsum + near + merge
 
 
+def tile_bytes_per_cell(tp, n_cells):
+    """Static HBM traffic of one TilePlan accumulation, bytes per cell:
+    pass A reads data + its tables, pass C reads data + its tables and
+    writes the result; the coarse level is ~n/80 and negligible."""
+    a_keys = tp._keys("a")
+    c_keys = tp._keys("c")
+    tab = lambda keys: sum(tp._tabs_np[k].nbytes for k in set(keys))
+    return (tab(a_keys) + tab(c_keys)) / n_cells + 3 * 4
+
+
 def bench_big(jax, jnp):
     from pyflwdir_tpu.codecs import d8 as d8c
+    from pyflwdir_tpu.ops.tile_plan import build_tile_plan
 
     side = BIG_SIDE
     d8_grid = big_d8(side)
+    t0 = time.time()
     idxs_ds, idxs_pit, n_valid = d8c.from_array(d8_grid)
+    t_parse = time.time() - t0
     n_cells = idxs_ds.size
-    plan, dfs = big_plan(idxs_ds, side)
+
+    # hierarchical tile plan — the headline kernel. Construction is timed
+    # and reported every run (nothing cached), per-tile-parallel on host.
+    t0 = time.time()
+    tp = build_tile_plan(idxs_ds, d8_grid.shape, tile_rows=128)
+    t_build = time.time() - t0
+    log(f"tile plan build {t_build:.1f}s (parse {t_parse:.1f}s)")
 
     data = jnp.ones(n_cells, dtype=jnp.int32)
-    arrs = plan.arrays()  # jit args, not constants (remote compile)
+    arrs = tp.arrays()  # jit args, not constants (remote compile)
 
     @jax.jit
     def accum(x, arrs):
-        return plan.accumulate(x, arrs)
+        return tp.accumulate(x, arrs)
 
     out = accum(data, arrs)
     pit_sum = int(np.asarray(out)[idxs_pit].sum())
@@ -211,62 +234,95 @@ def bench_big(jax, jnp):
 
     t = _steady_state_time(
         jax,
-        lambda a, d, arrs: plan.accumulate(_dep(d, a), arrs),
+        lambda a, d, arrs: tp.accumulate(_dep(d, a), arrs),
         data,
         (data, arrs),
         4,
     )
     gps = n_cells / t
 
-    bpc = bytes_moved_per_cell(plan)
-    moved = bpc * plan.n_pad
+    bpc = tile_bytes_per_cell(tp, n_cells)
+    moved = bpc * n_cells
     roofline_pct = moved / t / (HBM_GBPS * 1e9) * 100
     sol_t = 8 * n_cells / (HBM_GBPS * 1e9)  # read+write once at HBM peak
-    return {
+    res = {
         "side": side,
         "n_cells": n_cells,
         "t_s": t,
         "gps": gps,
+        "plan_build_s": t_build,
+        "parse_s": t_parse,
         "bytes_per_cell": bpc,
         "roofline_pct_of_hbm": roofline_pct,
         "x_over_speed_of_light": t / sol_t,
         "idxs_ds": idxs_ds,
         "idxs_pit": idxs_pit,
         "n_valid": n_valid,
-        "seq": dfs.preorder_np,  # parents-first topological order
     }
+
+    # secondary: the global 7-stage router plan (ops/accel_big.py), for
+    # continuity with earlier rounds (colorings disk-cached)
+    if not os.environ.get("PYFLWDIR_BENCH_SKIP_ROUTER"):
+        plan, dfs = big_plan(idxs_ds, side)
+        arrs_r = plan.arrays()
+
+        @jax.jit
+        def accum_r(x, arrs_r):
+            return plan.accumulate(x, arrs_r)
+
+        out = accum_r(data, arrs_r)
+        assert int(np.asarray(out)[idxs_pit].sum()) == n_valid
+        t_r = _steady_state_time(
+            jax,
+            lambda a, d, arrs_r: plan.accumulate(_dep(d, a), arrs_r),
+            data,
+            (data, arrs_r),
+            4,
+        )
+        res["router_gps"] = n_cells / t_r
+        res["seq"] = dfs.preorder_np  # parents-first topological order
+        log(f"global router plan: {n_cells / t_r / 1e6:.0f} Mgp/s")
+    else:
+        from pyflwdir_tpu.ops.plan import build_plan as _bp
+
+        res["seq"] = _bp(idxs_ds, fast=False).preorder_np
+    return res
 
 
 def bench_rhine(jax, jnp):
+    """Rhine demo grid through the hierarchical tile plan — the same
+    kernel `FlwdirRaster.upstream_area` dispatches to, so the API-level
+    and plan-level numbers coincide."""
     from pyflwdir_tpu.codecs import d8 as d8c
-    from pyflwdir_tpu.ops.accel import build_accel_plan
-    from pyflwdir_tpu.ops.plan import accumulate_planned_fast, build_plan
+    from pyflwdir_tpu.ops.tile_plan import build_tile_plan
 
     rhine = load_rhine()
     idxs_ds, idxs_pit, n_valid = d8c.from_array(rhine)
     n_cells = idxs_ds.size
-    plan = build_plan(idxs_ds, fast=False)
-    aplan = build_accel_plan(idxs_ds, plan)
+    t0 = time.time()
+    tp = build_tile_plan(idxs_ds, rhine.shape, tile_rows=128)
+    t_build = time.time() - t0
     data = jnp.ones(n_cells, dtype=jnp.float32)
-    if aplan is not None:
-        _apply = aplan.accumulate
-    else:
-        plan = build_plan(idxs_ds)
-        _apply = lambda x: accumulate_planned_fast(plan, x)
+    arrs = tp.arrays()
 
     @jax.jit
-    def accum(x):
-        return _apply(x)
+    def accum(x, arrs):
+        return tp.accumulate(x, arrs)
 
-    out = accum(data)
-    out.block_until_ready()
+    out = accum(data, arrs)
     pit_sum = float(np.asarray(out)[idxs_pit].sum())
     assert abs(pit_sum - n_valid) < 1e-3
 
     t = _steady_state_time(
-        jax, lambda a, d: _apply(_dep(d, a)), data, (data,), 64
+        jax, lambda a, d, arrs: tp.accumulate(_dep(d, a), arrs), data,
+        (data, arrs), 64,
     )
-    return {"n_cells": n_cells, "t_s": t, "gps": n_cells / t}
+    return {
+        "n_cells": n_cells,
+        "t_s": t,
+        "gps": n_cells / t,
+        "plan_build_s": t_build,
+    }
 
 
 def cpu_baseline(idxs_ds, idxs_pit, n_valid, seq, reps=3):
@@ -331,6 +387,8 @@ def main():
                 "vs_baseline": round(big["gps"] / gps_cpu, 2),
                 "roofline_pct_of_hbm": round(big["roofline_pct_of_hbm"], 1),
                 "x_over_speed_of_light": round(big["x_over_speed_of_light"], 1),
+                "plan_build_s": round(big["plan_build_s"], 1),
+                "router_mgps": round(big.get("router_gps", 0) / 1e6, 1),
                 "rhine_mgps": round(rhine["gps"] / 1e6, 1),
             }
         )

@@ -92,3 +92,25 @@ def test_tile_plan_weighted_int():
     gplan = build_plan(idxs_ds, fast=False)
     want = np.asarray(accumulate_planned(gplan, jnp.asarray(w, jnp.int64)))
     assert np.array_equal(out.astype(np.int64), want)
+
+
+def test_tile_plan_float32_backend_accuracy():
+    """TPU-dtype parity (VERDICT item 7): with x64 disabled the float
+    path runs a float32 per-tile prefix sum + compensated coarse level;
+    assert the documented O(eps * tile magnitude) bound against the
+    float64 oracle."""
+    import jax
+
+    d8 = _grid((384, 256), seed=21)
+    idxs_ds, idxs_pit, n_valid = d8c.from_array(d8)
+    rng = np.random.RandomState(2)
+    w = (rng.rand(idxs_ds.size) * 100.0).astype(np.float32)
+    gplan = build_plan(idxs_ds, fast=False)
+    want = np.asarray(accumulate_planned(gplan, jnp.asarray(w, jnp.float64)))
+    with jax.enable_x64(False):
+        tp = build_tile_plan(idxs_ds, (384, 256), tile_rows=128)
+        out = np.asarray(tp.accumulate(jnp.asarray(w)))
+    scale = np.abs(want).max()
+    # float32 eps ~ 1.2e-7; tile partial sums bound the error well below
+    # a global float32 prefix sum's O(eps * global_total)
+    assert np.allclose(out, want, rtol=1e-4, atol=32 * 1.2e-7 * scale)

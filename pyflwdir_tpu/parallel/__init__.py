@@ -9,6 +9,7 @@ from .tiled import (
     tiled_hand,
     tiled_rank,
     tiled_stream_distance,
+    tiled_strahler,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "tiled_hand",
     "tiled_rank",
     "tiled_stream_distance",
+    "tiled_strahler",
 ]

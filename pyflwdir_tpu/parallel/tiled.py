@@ -37,6 +37,7 @@ __all__ = [
     "tiled_fill",
     "tiled_stream_distance",
     "tiled_hand",
+    "tiled_strahler",
 ]
 
 
@@ -522,6 +523,72 @@ def tiled_accumulate(
     )
     _check_converged(stalled, "accumulation")
     return np.asarray(out)[:nrow0, :ncol0]
+
+
+def _child_counts(codes, member):
+    """Per-cell count of upstream D8 neighbors inside ``member`` (host
+    numpy 3x3 stencil: 8 shifted adds)."""
+    from ..codecs import d8 as d8c
+
+    dr = d8c._DR_LUT[codes]
+    dc = d8c._DC_LUT[codes]
+    nrow, ncol = codes.shape
+    cnt = np.zeros((nrow, ncol), dtype=np.int8)
+    for sr in (-1, 0, 1):
+        for sc in (-1, 0, 1):
+            if sr == 0 and sc == 0:
+                continue
+            src = member & (dr == sr) & (dc == sc)
+            r0, r1 = max(sr, 0), nrow + min(sr, 0)
+            c0, c1 = max(sc, 0), ncol + min(sc, 0)
+            cnt[r0:r1, c0:c1] += src[r0 - sr : r1 - sr, c0 - sc : c1 - sc]
+    return cnt
+
+
+def tiled_strahler(
+    codes: np.ndarray,
+    mesh: Mesh,
+    mask: np.ndarray | None = None,
+    max_order: int = 32,
+    max_rounds: int | None = None,
+):
+    """Strahler stream order over a D8 code raster sharded over ``mesh``.
+
+    Log-depth formulation (instead of the O(n)-round scatter fixpoint of
+    ``ops.order.strahler``): ``order(c) >= s`` iff c's subtree contains a
+    cell with two upstream branches of order ``>= s-1``, and that set is
+    the downstream closure of the level's confluence generators — one
+    child-count stencil plus one tiled accumulation per order level
+    (max Strahler order <= log2(#headwaters), ~12 for real networks).
+    Matches reference ``streams.strahler_order`` (streams.py:229-269)
+    incl. its mask semantics (cells outside ``mask`` are 0 and invisible).
+    """
+    from ..codecs import d8 as d8c
+
+    codes = np.asarray(codes)
+    valid = (
+        (d8c._DR_LUT[codes] != 0)
+        | (d8c._DC_LUT[codes] != 0)
+        | np.isin(codes, d8c._pv)
+    )
+    if mask is not None:
+        # orders must not propagate through cells outside the mask
+        # (reference skips them entirely): cut the network there
+        member = valid & np.asarray(mask, bool)
+        codes = np.where(member, codes, np.uint8(d8c._mv))
+    else:
+        member = valid
+    order = member.astype(np.uint8)
+    for _ in range(1, max_order):
+        gen = _child_counts(codes, member) >= 2
+        if not gen.any():
+            break
+        accu = tiled_accumulate(
+            codes, gen.astype(np.float32), mesh, max_rounds=max_rounds
+        )
+        member = (np.asarray(accu) >= 0.5) & member
+        order += member.astype(np.uint8)
+    return order
 
 
 def tiled_fill(

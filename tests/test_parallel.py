@@ -193,3 +193,31 @@ def test_tiled_fill_rejects_capped_variants(d8_ref):
         tiled_fill(dem, mesh, max_depth=1.0)
     with pytest.raises(NotImplementedError):
         tiled_fill(dem, mesh, elv_max=0.5)
+
+
+@pytest.mark.parametrize("n_devices", [4, 8])
+def test_tiled_strahler_matches_native(d8_ref_large, n_devices):
+    from pyflwdir_tpu import runtime
+    from pyflwdir_tpu.ops.plan import build_plan
+    from pyflwdir_tpu.parallel import tiled_strahler
+
+    if not runtime.__all__:
+        pytest.skip("native host kernels not built")
+    mesh = make_mesh(n_devices)
+    idxs_ds, _, _ = d8c.from_array(d8_ref_large)
+    pre = build_plan(idxs_ds, fast=False).preorder_np
+
+    got = tiled_strahler(d8_ref_large, mesh)
+    want = runtime.strahler_order(idxs_ds, pre).reshape(d8_ref_large.shape)
+    valid = (idxs_ds >= 0).reshape(d8_ref_large.shape)
+    assert np.array_equal(got[valid], want[valid])
+
+    # masked variant: orders must not cross unmasked cells
+    mask = np.ones(d8_ref_large.shape, bool)
+    mask[80:84, :] = False
+    got_m = tiled_strahler(d8_ref_large, mesh, mask=mask)
+    want_m = runtime.strahler_order(
+        idxs_ds, pre, mask=mask.ravel()
+    ).reshape(d8_ref_large.shape)
+    assert np.array_equal(got_m[valid & mask], want_m[valid & mask])
+    assert got_m[~mask].max() == 0

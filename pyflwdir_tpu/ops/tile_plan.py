@@ -109,6 +109,12 @@ def _taa(v, idx):
     return jnp.take_along_axis(v, idx.astype(jnp.int32), axis=-1)
 
 
+def _mask(t):
+    """int8 mask table -> bool (via int32: Mosaic has no int8 lane
+    broadcast for the scalar compare)."""
+    return t.astype(jnp.int32) != 0
+
+
 def _split_planes(c):
     """int32 -> exact (hi, lo) float32 planes: c == hi * 2^16 + lo with
     |hi| <= 2^15, |lo| <= 2^15 (both exactly representable in f32)."""
@@ -168,11 +174,17 @@ def _cumsum_axis(v, axis):
 
 
 def _cumsum_tile(w):
-    """Flat (row-major) inclusive prefix sum of a (Y, 128) VMEM value."""
+    """Flat (row-major) inclusive prefix sum of a (Y, 128) VMEM value.
+
+    All intermediates stay (Y, 128): the per-row totals are broadcast
+    across lanes with a constant lane gather (Mosaic ICEs on (Y, 1)
+    column shapes), then prefix-summed along rows.
+    """
     crow = _cumsum_axis(w, 1)
-    rows = crow[:, -1:]
-    r_incl = _cumsum_axis(rows, 0)
-    return crow + (r_incl - rows)
+    idx_last = jnp.full(crow.shape, _S - 1, jnp.int32)
+    rt = _taa(crow, idx_last)          # row totals, broadcast to all lanes
+    rts = _cumsum_axis(rt, 0)          # inclusive prefix over rows
+    return crow + rts - rt
 
 
 def _sel_gather(planes, er, el, Ysrc):
@@ -270,24 +282,24 @@ def _body_c(x, entA, tb, cfg):
     zrow = jnp.zeros((1, _S), c.dtype)
     c_next = jnp.concatenate([c[1:], zrow], axis=0)
     g_near = jnp.where(
-        tb["sel_next"] != 0,
+        _mask(tb["sel_next"]),
         _taa(c_next, tb["idx_near"]),
         _taa(c, tb["idx_near"]),
     )
     g_prev = _flat_prev(c)
 
     zero = jnp.zeros((), c.dtype)
-    outp = jnp.where(tb["near_sel"] != 0, g_near, zero) - g_prev
+    outp = jnp.where(_mask(tb["near_sel"]), g_near, zero) - g_prev
     if cfg["has_far"]:
         # compact interval-end values c[e] per far cell (preorder order),
         # then a second selection delivers each dense slot its value
         cf = _sel_gather(_to_planes(c, cfg), tb["far_er"], tb["far_el"], Y)
         fv = _sel_gather(cf, tb["far_qer"], tb["far_qel"], cf[0].shape[0])
         far_v = _combine_planes(fv, cfg)
-        outp = outp + jnp.where(tb["far_sel"] != 0, far_v, zero)
+        outp = outp + jnp.where(_mask(tb["far_sel"]), far_v, zero)
 
     out = _local_chain(outp, *_rout_tabs(tb), G)
-    return jnp.where(tb["tree_mask"] != 0, out, x)
+    return jnp.where(_mask(tb["tree_mask"]), out, x)
 
 
 # ---------------------------------------------------------------------------

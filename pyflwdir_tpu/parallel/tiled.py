@@ -445,6 +445,97 @@ def tiled_basins(
     return np.asarray(out)[:nrow0, :ncol0]
 
 
+def _tile_step_coarse(codes, data, K):
+    """Per-shard body of the hierarchical (constant-round) accumulation.
+
+    The cross-tile pointer contraction of SURVEY hard-part 4: instead of
+    iterating halo rounds once per tile crossing of the longest path,
+    each shard computes its local-root subtree sums, one halo exchange
+    publishes the coarse slot of every boundary cell's local root, one
+    ``all_gather`` ships the (small, <= K per tile) exit records to every
+    device, the coarse root graph is solved redundantly with tile-local
+    pointer doubling, and a single local injection pass finishes. Two
+    collectives total, independent of path length.
+    """
+    th, tw = codes.shape
+    n = th * tw
+    local_ds, exit_dr, exit_dc, valid = local_pointers(codes)
+    exit_dr, exit_dc = _kill_off_grid_exits(exit_dr, exit_dc, th, tw)
+    dflat = jnp.where(valid.ravel(), data.ravel(), 0).astype(data.dtype)
+    accu_local = _local_accumulate(local_ds, dflat)
+
+    ar = jnp.arange(n, dtype=local_ds.dtype)
+    is_exit_cell = ((exit_dr != 0) | (exit_dc != 0)).ravel() & valid.ravel()
+    term = reach(local_ds, None)
+
+    # compact the exit cells into K slots (index order)
+    keys = jnp.where(is_exit_cell, ar, n + ar)
+    order = jnp.argsort(keys)
+    exit_cells = order[:K]                       # cell idx per slot (or junk)
+    slot_valid = is_exit_cell[exit_cells]
+    slot_of_cell = (
+        jnp.full(n, -1, jnp.int32)
+        .at[exit_cells]
+        .set(jnp.where(slot_valid, jnp.arange(K, dtype=jnp.int32), -1))
+    )
+
+    nty, ntx = lax.axis_size("ty"), lax.axis_size("tx")
+    ti, tj = lax.axis_index("ty"), lax.axis_index("tx")
+    my_lin = ti * ntx + tj
+    # coarse slot of each cell's local root (-1 if pit-rooted), globalized
+    root_slot = slot_of_cell[term]
+    gslot_map = jnp.where(
+        root_slot >= 0, my_lin * K + root_slot, -1
+    ).astype(jnp.int32)
+    halo = _gather_halo(gslot_map.reshape(th, tw), jnp.asarray(-1, jnp.int32))
+
+    # per-slot records
+    er = exit_cells // tw
+    ec = exit_cells % tw
+    sdr = exit_dr.ravel()[exit_cells]
+    sdc = exit_dc.ravel()[exit_cells]
+    parent = halo[er + 1 + sdr, ec + 1 + sdc]     # gslot of entry's root
+    gself = my_lin * K + jnp.arange(K, dtype=jnp.int32)
+    parent = jnp.where(slot_valid & (parent >= 0), parent, gself)
+    sval = jnp.where(slot_valid, accu_local[exit_cells], 0).astype(data.dtype)
+    # global entry coordinates -> destination tile + local flat index
+    gr = ti * th + er + sdr
+    gc = tj * tw + ec + sdc
+    dest = (gr // th) * ntx + gc // tw
+    entry_flat = (gr % th) * tw + gc % tw
+    dest = jnp.where(slot_valid, dest, -1).astype(jnp.int32)
+
+    def gather2(x):
+        g = lax.all_gather(lax.all_gather(x, "tx"), "ty")
+        return g.reshape((nty * ntx * K,) + x.shape[1:])
+
+    g_parent = gather2(parent)
+    g_s = gather2(sval)
+    g_dest = gather2(dest)
+    g_entry = gather2(entry_flat)
+
+    # replicated coarse solve: subtree sums over the exit-root forest
+    m = nty * ntx * K
+    arm = jnp.arange(m, dtype=g_parent.dtype)
+    active = g_parent != arm
+    ptr = jnp.where(active, g_parent, m)
+    A = _subtree_reduce(ptr, g_s, "add")
+
+    # inject the incoming totals at my entry cells and finish locally
+    mine = g_dest == my_lin
+    inj = (
+        jnp.zeros(n, data.dtype)
+        .at[g_entry]
+        .add(jnp.where(mine, A, 0), mode="drop")
+    )
+    inj_acc = _local_accumulate(local_ds, jnp.where(valid.ravel(), inj, 0))
+    total = accu_local + inj_acc
+    overflow = jnp.sum(
+        (slot_of_cell < 0) & is_exit_cell, dtype=jnp.int32
+    ).reshape(1, 1)
+    return jnp.where(valid, total.reshape(th, tw), data), overflow
+
+
 def _tile_step(codes, data, max_rounds):
     """Per-shard body: local accumulate + iterated cross-tile injection."""
     th, tw = codes.shape
@@ -502,16 +593,34 @@ def tiled_accumulate(
     data: np.ndarray,
     mesh: Mesh,
     max_rounds: int | None = None,
+    method: str = "coarse",
 ):
     """Flow accumulation of ``data`` over a D8 code raster, sharded over
     ``mesh``. Returns the dense accumulation grid (same shape as input).
 
     Matches :func:`pyflwdir_tpu.ops.graph.accumulate` on the parsed graph
     (no-nodata case); the input is padded to the mesh tiling.
+
+    ``method="coarse"`` (default) solves cross-tile flow hierarchically —
+    two collectives regardless of path length (:func:`_tile_step_coarse`);
+    ``method="iterate"`` is the halo-exchange fixpoint (one ppermute
+    round per tile crossing of the longest path).
     """
     nrow0, ncol0 = codes.shape
     codes_p = pad_to_tiles(np.asarray(codes), mesh, fill=247)
     data_p = pad_to_tiles(np.asarray(data, dtype=np.float32), mesh, fill=0.0)
+
+    if method == "coarse":
+        ty, tx = mesh.devices.shape
+        th, tw = codes_p.shape[0] // ty, codes_p.shape[1] // tx
+        K = 2 * (th + tw)
+        out, overflow = _run_sharded(
+            mesh, partial(_tile_step_coarse, K=K), codes_p, data_p
+        )
+        if int(np.asarray(overflow).sum()) > 0:
+            raise RuntimeError("tiled accumulation: exit cells exceed K slots")
+        return np.asarray(out)[:nrow0, :ncol0]
+
     if max_rounds is None:
         # a serpentine path can cross a tile boundary on every step, so
         # the only safe a-priori bound is the cell count; the fixpoint

@@ -221,3 +221,17 @@ def test_tiled_strahler_matches_native(d8_ref_large, n_devices):
     ).reshape(d8_ref_large.shape)
     assert np.array_equal(got_m[valid & mask], want_m[valid & mask])
     assert got_m[~mask].max() == 0
+
+
+@pytest.mark.parametrize("n_devices", [2, 4, 8])
+def test_tiled_accumulate_coarse_vs_iterate(d8_ref_large, n_devices):
+    """The hierarchical (constant-round) solve equals the halo fixpoint
+    and the monolith."""
+    mesh = make_mesh(n_devices)
+    rng = np.random.RandomState(4)
+    data = rng.rand(*d8_ref_large.shape).astype(np.float32)
+    got = tiled_accumulate(d8_ref_large, data, mesh, method="coarse")
+    want = tiled_accumulate(d8_ref_large, data, mesh, method="iterate")
+    idxs_ds, _, _ = d8c.from_array(d8_ref_large)
+    valid = (idxs_ds >= 0).reshape(d8_ref_large.shape)
+    assert np.allclose(got[valid], want[valid], rtol=1e-4)

@@ -159,9 +159,38 @@ def test_parity_streams_features(d8_case, ref):
     assert geo_a == geo_b
 
 
+def test_parity_rhine_subsampled(ref):
+    """Every-run Rhine oracle: the full pipeline parity on a 4x-subsampled
+    grid (the full-resolution run is the weekly/manual
+    ``test_parity_rhine_pipeline``; .github/workflows/parity.yml)."""
+    from PIL import Image
+
+    rhine = np.array(
+        Image.open(os.path.join(_REF_ROOT, "examples", "rhine_d8.tif"))
+    )[::4, ::4]
+    # subsampling breaks D8 links: re-derive directions from the original
+    # rank surface to keep a valid network of the same character
+    from pyflwdir_tpu.ops.fill import d8_from_filled, fill_depressions_dev
+
+    rng = np.random.RandomState(5)
+    z = rng.rand(*rhine.shape).astype(np.float32)
+    z += np.add.outer(
+        np.linspace(2, 0, rhine.shape[0]), np.linspace(2, 0, rhine.shape[1])
+    ).astype(np.float32)
+    d8 = np.array(d8_from_filled(fill_depressions_dev(z)))
+    f_ref, f_tpu = _both(d8, ref)
+    a = f_ref.upstream_area(unit="cell")
+    b = f_tpu.upstream_area(unit="cell")
+    assert np.array_equal(a, b)
+    sa = f_ref.stream_order(type="strahler")
+    sb = f_tpu.stream_order(type="strahler")
+    assert np.array_equal(sa, sb)
+
+
 @pytest.mark.skipif(
     os.environ.get("PYFLWDIR_PARITY_RHINE") != "1",
-    reason="pure-python reference on the Rhine grid takes minutes; opt-in",
+    reason="pure-python reference on the full Rhine grid takes minutes; "
+    "runs in the weekly parity workflow (.github/workflows/parity.yml)",
 )
 def test_parity_rhine_pipeline(ref):
     from PIL import Image

@@ -32,6 +32,17 @@ def _enable_compile_cache():
             return
         if getattr(jax.config, "jax_compilation_cache_dir", None):
             return
+        # XLA:CPU AOT artifacts bake codegen-preference pseudo-features
+        # (prefer-no-scatter/-gather) that the loader then flags as
+        # missing host features on *every* reload — same machine, same
+        # config (jaxlib bug). Persistent caching is a TPU startup-latency
+        # fix; skip it entirely for CPU-pinned processes (tests, the
+        # multichip dryrun) instead of spamming stderr.
+        platforms = getattr(jax.config, "jax_platforms", None) or os.environ.get(
+            "JAX_PLATFORMS"
+        )
+        if platforms and set(platforms.split(",")) <= {"cpu"}:
+            return
         # key the cache directory by platform + host machine so AOT
         # artifacts never load across incompatible machine types (XLA:CPU
         # embeds the compile host's vector features in its executables)
@@ -49,7 +60,21 @@ def _enable_compile_cache():
                         break
         except OSError:
             cpu = platform.processor() or "cpu"
-        key = f"{machine}-{hashlib.md5(cpu.encode()).hexdigest()[:8]}"
+        # XLA:CPU also bakes codegen *preferences* (e.g. prefer-no-scatter)
+        # into its AOT machine features; those vary with the configured
+        # platform set and XLA flags, not the hardware — key them too so a
+        # TPU-attached process and a pure-CPU process never share a dir
+        cfg = "|".join(
+            (
+                jax.__version__,
+                os.environ.get("JAX_PLATFORMS", ""),
+                os.environ.get("XLA_FLAGS", ""),
+            )
+        )
+        key = (
+            f"{machine}-{hashlib.md5(cpu.encode()).hexdigest()[:8]}"
+            f"-{hashlib.md5(cfg.encode()).hexdigest()[:8]}"
+        )
         cache_dir = os.environ.get(
             "PYFLWDIR_TPU_CACHE_DIR",
             os.path.join(

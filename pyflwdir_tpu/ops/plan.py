@@ -175,6 +175,49 @@ def _acc_dtype(dtype):
     return jnp.float64 if x64 else jnp.float32
 
 
+def _compensated(dtype):
+    """True when float input must run the two-float compensated path:
+    with x64 unavailable (TPU default) a plain float32 prefix sum loses
+    O(eps * running_total) absolute accuracy in the interval differences
+    (~1e5 m^2 on continental real-area grids)."""
+    import jax
+
+    x64 = jax.dtypes.canonicalize_dtype(jnp.float64) == jnp.float64
+    return not x64 and not (
+        jnp.issubdtype(dtype, jnp.integer) or dtype == jnp.bool_
+    )
+
+
+def _two_sum(a, b):
+    """Knuth error-free transform: a + b = s + err exactly."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _df_add(x, y):
+    """Double-float addition of (hi, lo) pairs — quasi-associative with
+    ~2^-48 relative error, usable inside ``lax.associative_scan``."""
+    hi, e = _two_sum(x[0], y[0])
+    lo = e + (x[1] + y[1])
+    s = hi + lo
+    return s, lo - (s - hi)
+
+
+def _comp_cumsum(x):
+    """Compensated inclusive prefix sum of a float32 vector: returns
+    (hi, lo) planes with hi + lo accurate to ~2 ulps of the true sum."""
+    zeros = jnp.zeros_like(x)
+    return lax.associative_scan(_df_add, (x, zeros))
+
+
+def _df_diff(end, start):
+    """Accurate interval difference of two (hi, lo) prefix-sum samples."""
+    d, e = _two_sum(end[0], -start[0])
+    return d + (e + (end[1] - start[1]))
+
+
 def accumulate_planned(plan: DfsPlan, data: jnp.ndarray) -> jnp.ndarray:
     """Flow accumulation via the DFS-interval plan (jit-safe).
 
@@ -186,13 +229,25 @@ def accumulate_planned(plan: DfsPlan, data: jnp.ndarray) -> jnp.ndarray:
         return data
     acc_dtype = _acc_dtype(data.dtype)
     g = data[plan.preorder].astype(acc_dtype)
-    c = jnp.cumsum(g)
     start = plan.pos
     end = plan.pos + plan.size - 1
     on_tree = plan.pos >= 0
-    end_c = c[jnp.clip(end, 0, plan.n_tree - 1)]
-    start_c = jnp.where(start > 0, c[jnp.clip(start - 1, 0, plan.n_tree - 1)], 0)
-    out = end_c - start_c
+    e_idx = jnp.clip(end, 0, plan.n_tree - 1)
+    s_idx = jnp.clip(start - 1, 0, plan.n_tree - 1)
+    s_live = start > 0
+    if _compensated(data.dtype):
+        c_hi, c_lo = _comp_cumsum(g)
+        zero = jnp.zeros((), acc_dtype)
+        out = _df_diff(
+            (c_hi[e_idx], c_lo[e_idx]),
+            (
+                jnp.where(s_live, c_hi[s_idx], zero),
+                jnp.where(s_live, c_lo[s_idx], zero),
+            ),
+        )
+    else:
+        c = jnp.cumsum(g)
+        out = c[e_idx] - jnp.where(s_live, c[s_idx], 0)
     return jnp.where(on_tree, out.astype(data.dtype), data)
 
 
@@ -228,26 +283,40 @@ def accumulate_planned_fast(plan: DfsPlan, data: jnp.ndarray) -> jnp.ndarray:
         [x_pre, jnp.zeros(npad - plan.n_tree, dtype=acc_dtype)]
     )
 
-    # 2. prefix sum over the preorder sequence
-    c = jnp.cumsum(x_pad)
+    # 2. prefix sum over the preorder sequence — two-float compensated
+    # planes when float32 is the widest dtype available (TPU)
+    comp = _compensated(data.dtype)
+    planes = _comp_cumsum(x_pad) if comp else (jnp.cumsum(x_pad),)
 
-    # 3. interval-end values g[k] = c[k + d[k]]
+    # 3. interval-end values g[k] = c[k + d[k]], per plane (the one-hot
+    # matmul is pure selection — exact on each plane separately)
     m = npad // blk
-    cb = c.reshape(m, blk)
-    cwin = jnp.concatenate([cb, jnp.concatenate([cb[1:], cb[:1]], axis=0)], axis=1)
     onehot = (
         f["win_idx"][:, :, None]
         == lax.broadcasted_iota(jnp.int32, (m, blk, 2 * blk), 2)
-    ).astype(cwin.dtype)
-    g_near = jnp.einsum(
-        "bj,bij->bi", cwin, onehot, preferred_element_type=cwin.dtype
-    ).ravel()
-    g = jnp.where(f["near"], g_near, 0)
-    g = g.at[f["far_k"]].set(c[f["far_e"]], mode="drop")
+    ).astype(acc_dtype)
+
+    def ends(c):
+        cb = c.reshape(m, blk)
+        cwin = jnp.concatenate(
+            [cb, jnp.concatenate([cb[1:], cb[:1]], axis=0)], axis=1
+        )
+        g_near = jnp.einsum(
+            "bj,bij->bi", cwin, onehot, preferred_element_type=cwin.dtype
+        ).ravel()
+        g = jnp.where(f["near"], g_near, 0)
+        return g.at[f["far_k"]].set(c[f["far_e"]], mode="drop")
 
     # 4. interval starts: c[k-1] is a shift in this layout
-    c_prev = jnp.concatenate([jnp.zeros(1, dtype=acc_dtype), c[:-1]])
-    accu_pad = g - c_prev
+    def starts(c):
+        return jnp.concatenate([jnp.zeros(1, dtype=acc_dtype), c[:-1]])
+
+    if comp:
+        accu_pad = _df_diff(
+            tuple(ends(c) for c in planes), tuple(starts(c) for c in planes)
+        )
+    else:
+        accu_pad = ends(planes[0]) - starts(planes[0])
 
     # 5. preorder -> cell layout via sort by cell index
     accu_pre = accu_pad[: plan.n_tree]

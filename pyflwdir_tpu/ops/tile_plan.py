@@ -187,6 +187,12 @@ def _cumsum_tile(w):
     return crow + rts - rt
 
 
+# one-hot row chunk: bounds every selection/scatter temporary to
+# (_SEL_CHUNK, 128, Y) floats so the Pallas bodies stay within the TPU's
+# ~16 MiB scoped-VMEM stack even for pathological table heights
+_SEL_CHUNK = 8
+
+
 def _sel_gather(planes, er, el, Ysrc):
     """MXU one-hot selection ``out[r, j] = p[er[r, j], el[r, j]]`` from
     (Ysrc, 128) source planes, for (Fr, 128) tables of static positions;
@@ -194,19 +200,52 @@ def _sel_gather(planes, er, el, Ysrc):
 
     Layout note: one-hots are built by broadcast compares over a new
     trailing iota dim and collapsed over *leading* dims only — Mosaic
-    rejects minor-dim-destroying reshapes like (N,) -> (N, 1).
+    rejects minor-dim-destroying reshapes like (N,) -> (N, 1). Processed
+    in static row chunks to bound scoped VMEM.
     """
     Fr = er.shape[0]
     fdt = planes[0].dtype
-    io_r = lax.broadcasted_iota(jnp.int32, (Fr, _S, Ysrc), 2)
-    oh_r = (er.astype(jnp.int32)[:, :, None] == io_r).astype(fdt)
-    io_l = lax.broadcasted_iota(jnp.int32, (Fr, _S, _S), 2)
-    oh_l = (el.astype(jnp.int32)[:, :, None] == io_l).astype(fdt)
-    out = []
-    for p in planes:
-        rows = jnp.dot(oh_r.reshape(Fr * _S, Ysrc), p, precision=_HIGH)
-        out.append(jnp.sum(rows.reshape(Fr, _S, _S) * oh_l, axis=2))
-    return out
+    chunks = [[] for _ in planes]
+    for r0 in range(0, Fr, _SEL_CHUNK):
+        e = er[r0 : r0 + _SEL_CHUNK]
+        l = el[r0 : r0 + _SEL_CHUNK]
+        fr = e.shape[0]
+        io_r = lax.broadcasted_iota(jnp.int32, (fr, _S, Ysrc), 2)
+        oh_r = (e.astype(jnp.int32)[:, :, None] == io_r).astype(fdt)
+        io_l = lax.broadcasted_iota(jnp.int32, (fr, _S, _S), 2)
+        oh_l = (l.astype(jnp.int32)[:, :, None] == io_l).astype(fdt)
+        for i, p in enumerate(planes):
+            rows = jnp.dot(oh_r.reshape(fr * _S, Ysrc), p, precision=_HIGH)
+            chunks[i].append(jnp.sum(rows.reshape(fr, _S, _S) * oh_l, axis=2))
+    return [c[0] if len(c) == 1 else jnp.concatenate(c, axis=0) for c in chunks]
+
+
+def _scatter_planes(planes, drow, dlane, Y):
+    """Dense (Y, 128) scatter of compact per-plane values:
+    ``delta[y, l] = sum_e [drow[e] == y] * p[e] * [dlane[e] == l]``
+    via one-hot dot_general contractions (duplicate positions sum; padded
+    entries point at row Y and vanish). Chunked like :func:`_sel_gather`.
+    """
+    Er = drow.shape[0]
+    fdt = planes[0].dtype
+    acc = [jnp.zeros((Y, _S), fdt) for _ in planes]
+    for r0 in range(0, Er, _SEL_CHUNK):
+        dr = drow[r0 : r0 + _SEL_CHUNK]
+        dl = dlane[r0 : r0 + _SEL_CHUNK]
+        er = dr.shape[0]
+        io_y = lax.broadcasted_iota(jnp.int32, (er, _S, Y), 2)
+        oh_y = (dr.astype(jnp.int32)[:, :, None] == io_y).astype(fdt)
+        io_l = lax.broadcasted_iota(jnp.int32, (er, _S, _S), 2)
+        oh_l = (dl.astype(jnp.int32)[:, :, None] == io_l).astype(fdt)
+        for i, p in enumerate(planes):
+            pv = (oh_l * p[r0 : r0 + _SEL_CHUNK][:, :, None]).reshape(er * _S, _S)
+            acc[i] = acc[i] + lax.dot_general(
+                oh_y.reshape(er * _S, Y),
+                pv,
+                (((0,), (0,)), ((), ())),
+                precision=_HIGH,
+            )
+    return acc
 
 
 def _flat_prev(v):
@@ -221,30 +260,8 @@ def _flat_prev(v):
 
 def _entry_delta(entA, erow, elane, Y, cfg):
     """Scatter entry values to their preorder positions as a dense (Y, 128)
-    source term via one-hot contractions (duplicate positions sum).
-
-    ``entA``/``erow``/``elane`` are (Er, 128) compact tables; the result is
-    ``delta[y, l] = sum_e [row_e == y] * A_e * [lane_e == l]`` computed as
-    one dot_general contracting the flattened entry axis.
-    """
-    Er = entA.shape[0]
-    fdt = cfg["fdt"]
-    io_y = lax.broadcasted_iota(jnp.int32, (Er, _S, Y), 2)
-    oh_y = (erow.astype(jnp.int32)[:, :, None] == io_y).astype(fdt)
-    io_l = lax.broadcasted_iota(jnp.int32, (Er, _S, _S), 2)
-    oh_l = (elane.astype(jnp.int32)[:, :, None] == io_l).astype(fdt)
-    planes = _to_planes(entA, cfg)
-    outs = []
-    for p in planes:
-        pv = (oh_l * p.astype(fdt)[:, :, None]).reshape(Er * _S, _S)
-        outs.append(
-            lax.dot_general(
-                oh_y.reshape(Er * _S, Y),
-                pv,
-                (((0,), (0,)), ((), ())),
-                precision=_HIGH,
-            )
-        )
+    source term (see :func:`_scatter_planes`; duplicate positions sum)."""
+    outs = _scatter_planes(_to_planes(entA, cfg), erow, elane, Y)
     return _combine_planes(outs, cfg)
 
 
@@ -292,11 +309,11 @@ def _body_c(x, entA, tb, cfg):
     outp = jnp.where(_mask(tb["near_sel"]), g_near, zero) - g_prev
     if cfg["has_far"]:
         # compact interval-end values c[e] per far cell (preorder order),
-        # then a second selection delivers each dense slot its value
+        # scattered back to the far cells' dense preorder slots (non-far
+        # slots receive exactly zero; padded entries vanish)
         cf = _sel_gather(_to_planes(c, cfg), tb["far_er"], tb["far_el"], Y)
-        fv = _sel_gather(cf, tb["far_qer"], tb["far_qel"], cf[0].shape[0])
-        far_v = _combine_planes(fv, cfg)
-        outp = outp + jnp.where(_mask(tb["far_sel"]), far_v, zero)
+        fv = _scatter_planes(cf, tb["far_drow"], tb["far_dlane"], Y)
+        outp = outp + _combine_planes(fv, cfg)
 
     out = _local_chain(outp, *_rout_tabs(tb), G)
     return jnp.where(_mask(tb["tree_mask"]), out, x)
@@ -324,7 +341,7 @@ class TilePlan:
         "near_sel",
         "tree_mask",
     )
-    _C_FAR = ("far_er", "far_el", "far_qer", "far_qel", "far_sel")
+    _C_FAR = ("far_er", "far_el", "far_drow", "far_dlane")
     _C_ENT = ("entry_row", "entry_lane")
 
     def __init__(self, idxs_ds_np, shape, tile_rows=128):
@@ -440,17 +457,14 @@ class TilePlan:
             far_el[tile[far_c], q] = (e % _S).astype(np.int8)
             tabs["far_er"] = far_er.reshape(NT, self.F_rows, _S)
             tabs["far_el"] = far_el.reshape(NT, self.F_rows, _S)
-            # delivery: the dense (tile, slot) address of far cell q reads
-            # cf[q // 128, q % 128] — same selection machinery
-            far_sel = np.zeros(NT * T, dtype=np.int8)
-            far_sel[fkey[far_c]] = 1
-            tabs["far_sel"] = far_sel.reshape(NT, th, _S)
-            far_qer = np.full(NT * T, self.F_rows, dtype=np.int16)
-            far_qel = np.zeros(NT * T, dtype=np.int8)
-            far_qer[fkey[far_c]] = (q // _S).astype(np.int16)
-            far_qel[fkey[far_c]] = (q % _S).astype(np.int8)
-            tabs["far_qer"] = far_qer.reshape(NT, th, _S)
-            tabs["far_qel"] = far_qel.reshape(NT, th, _S)
+            # delivery: far cell q's value lands at its dense preorder
+            # slot — a compact scatter table (row Y marks padding)
+            far_drow = np.full((NT, F_pad), th, dtype=np.int16)
+            far_dlane = np.zeros((NT, F_pad), dtype=np.int8)
+            far_drow[tile[far_c], q] = (slot[far_c] // _S).astype(np.int16)
+            far_dlane[tile[far_c], q] = (slot[far_c] % _S).astype(np.int8)
+            tabs["far_drow"] = far_drow.reshape(NT, self.F_rows, _S)
+            tabs["far_dlane"] = far_dlane.reshape(NT, self.F_rows, _S)
 
         # exits: local roots in slot order; consecutive-interval ends
         root_c = np.nonzero(on & (local_union == cell))[0]

@@ -55,20 +55,24 @@ def from_array(flwdir, _mv=_mv, dtype=np.int32):
     """
     flwdir = np.asarray(flwdir)
     nrow, ncol = flwdir.shape
-    flat = flwdir.ravel()
-    valid = flat != _mv
-    dr = _DR_LUT[flat].astype(np.int64)
-    dc = _DC_LUT[flat].astype(np.int64)
-    idxs = np.arange(flat.size, dtype=np.int64)
-    r_ds = idxs // ncol + dr
-    c_ds = idxs % ncol + dc
+    n = flwdir.size
+    # 2-D int32 broadcast arithmetic: no int64 div/mod passes over the
+    # grid (the row/col of a cell are its array coordinates)
+    it = np.int64 if n > np.iinfo(np.int32).max else np.int32
+    valid = flwdir != _mv
+    dr = _DR_LUT[flwdir]
+    dc = _DC_LUT[flwdir]
     pit = (dr == 0) & (dc == 0)
+    r_ds = np.arange(nrow, dtype=np.int32)[:, None] + dr
+    c_ds = np.arange(ncol, dtype=np.int32)[None, :] + dc
     outside = (r_ds < 0) | (r_ds >= nrow) | (c_ds < 0) | (c_ds >= ncol)
-    idx_ds = np.where(outside, 0, r_ds * ncol + c_ds)
-    ds_nodata = flat[idx_ds] == _mv
+    idx_ds = np.where(outside, 0, r_ds.astype(it) * ncol + c_ds)
+    ds_nodata = flwdir.ravel()[idx_ds.ravel()].reshape(nrow, ncol) == _mv
     to_pit = valid & (pit | outside | ds_nodata)
-    idxs_ds = np.where(valid, np.where(to_pit, idxs, idx_ds), -1).astype(dtype)
-    idxs_pit = np.where(to_pit)[0].astype(dtype)
+    iself = np.arange(nrow, dtype=it)[:, None] * ncol + np.arange(ncol, dtype=it)
+    idxs_ds = np.where(valid, np.where(to_pit, iself, idx_ds), -1)
+    idxs_ds = idxs_ds.astype(dtype).ravel()
+    idxs_pit = np.flatnonzero(to_pit).astype(dtype)
     return idxs_ds, idxs_pit, int(valid.sum())
 
 

@@ -42,27 +42,46 @@ class DfsPlan:
     _BLK = 128
 
     def __init__(self, preorder, pos, size, fast=True):
-        # host copies (plan assembly stays on host; device upload lazy)
+        # host copies (plan assembly stays on host; device upload lazy —
+        # jnp.asarray of host data yields concrete constants, never
+        # tracers, so caching on first use is trace-safe)
         self.preorder_np = np.asarray(preorder, dtype=np.int32)
         self.pos_np = np.asarray(pos, dtype=np.int32)
         self.size_np = np.asarray(size, dtype=np.int32)
-        self.preorder = jnp.asarray(self.preorder_np)
-        self.pos = jnp.asarray(self.pos_np)
-        self.size = jnp.asarray(self.size_np)
-        self.n_tree = int(self.preorder.shape[0])
-        # build eagerly: lazily constructing device arrays inside a jit
-        # trace would cache tracers (UnexpectedTracerError on reuse)
+        self._dev3 = None
+        self.n_tree = int(self.preorder_np.shape[0])
         self._fast = self._build_fast() if (self.n_tree and fast) else None
+
+    def _dev(self):
+        if self._dev3 is None:
+            self._dev3 = (
+                jnp.asarray(self.preorder_np),
+                jnp.asarray(self.pos_np),
+                jnp.asarray(self.size_np),
+            )
+        return self._dev3
+
+    @property
+    def preorder(self):
+        return self._dev()[0]
+
+    @property
+    def pos(self):
+        return self._dev()[1]
+
+    @property
+    def size(self):
+        return self._dev()[2]
 
     def fast(self):
         return self._fast
 
     def _build_fast(self):
         blk = self._BLK
-        n = int(self.pos.shape[0])
+        n = int(self.pos_np.shape[0])
         k_np = np.arange(self.n_tree, dtype=np.int64)
-        pre_np = np.asarray(self.preorder)
-        d_np = np.asarray(self.size)[pre_np].astype(np.int64) - 1  # end distance
+        pre_np = self.preorder_np
+        d_np = self.size_np[pre_np].astype(np.int64) - 1  # end distance
         npad = ((self.n_tree + blk - 1) // blk) * blk
         pad = npad - self.n_tree
         e_np = np.concatenate([k_np + d_np, np.arange(self.n_tree, npad)])
@@ -72,7 +91,7 @@ class DfsPlan:
         far_k = np.where(~near)[0]
         far_e = e_np[far_k]
         # off-tree cells (missing / loops) keep their input values
-        off_tree = np.where(np.asarray(self.pos) < 0)[0]
+        off_tree = np.where(self.pos_np < 0)[0]
         return {
             "npad": npad,
             "near": jnp.asarray(near),

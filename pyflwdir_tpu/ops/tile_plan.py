@@ -49,7 +49,52 @@ from jax import lax
 
 from .accel_big import BigAccelPlan
 from .plan import DfsPlan, accumulate_planned, build_plan
-from .router import RouterPlan, _S
+from .router import RouterPlan, _S, bipartite_color
+
+
+def _color_tiles(u, v, nside, deg, chunk=256):
+    """Per-tile bipartite Hall colorings via chunked disjoint unions.
+
+    ``u``/``v`` are (NT, E) per-tile endpoints in [0, nside); each chunk
+    of tiles becomes one deg-regular union multigraph (per-tile vertex
+    offsets keep components disjoint) colored by a single native
+    Euler-split call — O(E log deg) total, ~256x fewer calls.
+    """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    NT, E = u.shape
+    out = np.empty((NT, E), np.int32)
+
+    def one(t0):
+        cn = min(chunk, NT - t0)
+        off = np.arange(cn, dtype=np.int64)[:, None] * nside
+        cu = (u[t0 : t0 + cn] + off).ravel()
+        cv = (v[t0 : t0 + cn] + off).ravel()
+        col = bipartite_color(cu, cv, cn * nside, cn * nside, deg)
+        out[t0 : t0 + cn] = col.reshape(cn, E)
+
+    starts = range(0, NT, chunk)
+    nw = min(os.cpu_count() or 1, len(starts))
+    if nw <= 1:
+        for t0 in starts:
+            one(t0)
+    else:  # the native colorer releases the GIL for the chunk duration
+        with ThreadPoolExecutor(nw) as ex:
+            list(ex.map(one, starts))
+    return out
+
+
+def _inv_rows(t):
+    """Row-wise inverse of stacked permutation tables (..., S)."""
+    out = np.zeros_like(t)
+    np.put_along_axis(
+        out,
+        t.astype(np.int64),
+        np.broadcast_to(np.arange(t.shape[-1], dtype=t.dtype), t.shape),
+        -1,
+    )
+    return out
 
 __all__ = ["TilePlan", "build_tile_plan"]
 
@@ -345,6 +390,18 @@ class TilePlan:
     _C_ENT = ("entry_row", "entry_lane")
 
     def __init__(self, idxs_ds_np, shape, tile_rows=128):
+        import os
+        import time as _time
+
+        _dbg = bool(os.environ.get("PYFLWDIR_TILE_PLAN_DEBUG"))
+        _tk = [_time.time()]
+
+        def _ck(label):
+            if _dbg:
+                t = _time.time()
+                print(f"[tile_plan] {label}: {t - _tk[0]:.1f}s", flush=True)
+                _tk[0] = t
+
         H, W = map(int, shape)
         th = int(tile_rows)
         if th % _S or th > 512:
@@ -377,37 +434,66 @@ class TilePlan:
         else:
             ids_p = ids0
 
+        _ck("pad/remap")
+        # tile/local addresses via int32 broadcast outer adds — no int64
+        # div/mod passes over the padded grid; the downstream cell's tile
+        # is a gather from the same table
+        rows = np.arange(Hp, dtype=np.int32)
+        cols = np.arange(Wp, dtype=np.int32)
+        tile = np.add.outer((rows // th) * np.int32(ntx), cols // _S).ravel()
+        loc = np.add.outer((rows % th) * np.int32(_S), cols % _S).ravel()
         cell = np.arange(n, dtype=np.int64)
-        r, c = cell // Wp, cell % Wp
-        tile = (r // th) * ntx + c // _S
-        loc = (r % th) * _S + c % _S
         valid = ids_p >= 0
-        tds = np.full(n, -1, dtype=np.int64)
-        dsv = ids_p[valid]
-        tds[valid] = (dsv // Wp // th) * ntx + (dsv % Wp) // _S
+        tds = np.where(valid, tile[np.where(valid, ids_p, 0)], -1)
         same = valid & (tds == tile) & (ids_p != cell)
         local_union = np.where(same, ids_p, np.where(valid, cell, -1))
 
         # one native DFS over the union-of-tile-forests graph: pos/size are
         # per-tile-valid; per-tile preorder = global preorder restricted to
         # the tile (trees stay contiguous, intervals map to intervals)
+        _ck("tile decomposition")
         dfs = build_plan(local_union, fast=False)
-        pos = dfs.pos_np.astype(np.int64)
-        size = dfs.size_np.astype(np.int64)
+        pos = dfs.pos_np  # int32; -1 off-tree
+        size = dfs.size_np
         on = pos >= 0
-        n_on = int(on.sum())
+        n_on = int(dfs.preorder_np.size)
 
-        on_cells = np.nonzero(on)[0]
-        order_on = np.lexsort((pos[on_cells], tile[on_cells]))
-        cells_sorted = on_cells[order_on]
-        cnt_on = np.bincount(tile[on_cells], minlength=NT).astype(np.int64)
-        off_on = np.concatenate([[0], np.cumsum(cnt_on)])
+        _ck("union DFS")
+        # within-tile preorder slots in O(n): the union preorder lists
+        # whole trees contiguously, so each maximal run of equal tile in
+        # preorder order is one-or-more whole trees — a stable sort of
+        # the ~m runs (not the n cells) by tile yields every cell's
+        # within-tile rank
+        pre = dfs.preorder_np.astype(np.int64)
+        kt = tile[pre]
+        cnt_on = np.zeros(NT, dtype=np.int64)
         slot = np.full(n, -1, dtype=np.int64)
-        slot[cells_sorted] = np.arange(n_on) - np.repeat(off_on[:-1], cnt_on)
+        if n_on:
+            bnd = np.empty(n_on, dtype=bool)
+            bnd[0] = True
+            np.not_equal(kt[1:], kt[:-1], out=bnd[1:])
+            run_start = np.flatnonzero(bnd)
+            run_tile = kt[run_start]
+            run_len = np.diff(np.append(run_start, n_on))
+            order_r = np.argsort(run_tile, kind="stable")
+            np.add.at(cnt_on, run_tile, run_len)
+            off_on = np.concatenate([[0], np.cumsum(cnt_on)])
+            base_sorted = np.concatenate([[0], np.cumsum(run_len[order_r])[:-1]])
+            run_base = np.empty(run_start.size, dtype=np.int64)
+            run_base[order_r] = base_sorted - off_on[run_tile[order_r]]
+            run_id = np.cumsum(bnd) - 1
+            slot_pre = run_base[run_id] + (
+                np.arange(n_on, dtype=np.int64) - run_start[run_id]
+            )
+            slot[pre] = slot_pre
+        else:
+            off_on = np.zeros(NT + 1, dtype=np.int64)
+            slot_pre = np.zeros(0, dtype=np.int64)
 
+        _ck("slot assignment")
         # local cell -> preorder permutations, one bijection per tile
-        sig = np.full((NT, T), -1, dtype=np.int64)
-        sig[tile[on_cells], slot[on_cells]] = loc[on_cells]
+        sig = np.full((NT, T), -1, dtype=np.int32)
+        sig[kt, slot_pre] = loc[pre]
         off_cells = np.nonzero(~on)[0]
         order_off = np.lexsort((loc[off_cells], tile[off_cells]))
         off_cells = off_cells[order_off]
@@ -416,14 +502,16 @@ class TilePlan:
         rank_off = np.arange(off_cells.size) - np.repeat(coff[:-1], cnt_off)
         sig[tile[off_cells], cnt_on[tile[off_cells]] + rank_off] = loc[off_cells]
 
+        _ck("sig build")
         self._build_routers(sig)
+        _ck("routers")
         self._tabs_np = getattr(self, "_tabs_np", {})
         tabs = self._tabs_np
 
         # near tables, (NT * T,) flat then reshaped (NT, Y, 128)
-        d = np.zeros(n, dtype=np.int64)
+        d = np.zeros(n, dtype=np.int32)
         d[on] = size[on] - 1
-        fkey = tile * T + slot  # flat (tile, slot) address of on-tree cells
+        fkey = tile * np.int64(T) + slot  # flat (tile, slot) address of on-tree cells
         near_sel = np.zeros(NT * T, dtype=np.int8)
         idx_near = np.zeros(NT * T, dtype=np.int8)
         sel_next = np.zeros(NT * T, dtype=np.int8)
@@ -437,9 +525,10 @@ class TilePlan:
         tabs["idx_near"] = idx_near.reshape(NT, th, _S)
         tabs["sel_next"] = sel_next.reshape(NT, th, _S)
         tree_mask = np.zeros(NT * T, dtype=np.int8)
-        tree_mask[tile[on_cells] * T + loc[on_cells]] = 1  # raster layout
+        tree_mask[kt.astype(np.int64) * T + loc[pre]] = 1  # raster layout
         tabs["tree_mask"] = tree_mask.reshape(NT, th, _S)
 
+        _ck("near tables")
         # far tables: compact per tile, sorted by preorder slot
         far_c = np.nonzero(on & (d >= _S))[0]
         far_c = far_c[np.lexsort((slot[far_c], tile[far_c]))]
@@ -466,9 +555,15 @@ class TilePlan:
             tabs["far_drow"] = far_drow.reshape(NT, self.F_rows, _S)
             tabs["far_dlane"] = far_dlane.reshape(NT, self.F_rows, _S)
 
-        # exits: local roots in slot order; consecutive-interval ends
-        root_c = np.nonzero(on & (local_union == cell))[0]
-        root_c = root_c[np.lexsort((slot[root_c], tile[root_c]))]
+        _ck("far tables")
+        # exits: local roots in (tile, slot) order; consecutive-interval
+        # ends. Roots are the tree starts of the union preorder — no
+        # full-grid nonzero/lexsort, just the ~m-element root sort.
+        tree_start = local_union[pre] == pre
+        tree_id_pre = np.cumsum(tree_start) - 1
+        roots_pre = pre[tree_start]
+        rk = np.lexsort((slot[roots_pre], tile[roots_pre]))
+        root_c = roots_pre[rk]
         cnt_r = np.bincount(tile[root_c], minlength=NT).astype(np.int64)
         R_pad = _r128(cnt_r.max() if root_c.size else 0)
         self.R_rows = R_pad // _S
@@ -489,19 +584,17 @@ class TilePlan:
         tabs["exit_er"] = exit_er.reshape(NT, self.R_rows, _S)
         tabs["exit_el"] = exit_el.reshape(NT, self.R_rows, _S)
 
+        _ck("exit tables")
         # ---- coarse graph over roots -----------------------------------
         m = root_c.size
         in_slot = tile[root_c] * R_pad + j
-        # node id of the local root of any on-tree cell: roots are tree
-        # starts, trees are contiguous in the per-tile preorder
+        # node id of the local root of any on-tree cell: the tree id in
+        # preorder order, remapped to the (tile, slot) root numbering
         root_node = np.full(n, -1, dtype=np.int64)
         if m:
-            lens = np.empty(m, dtype=np.int64)
-            lens[:-1] = starts[1:] - starts[:-1]
-            lens[-1] = cnt_on[tile[root_c[-1]]] - starts[-1]
-            # the last root of each tile reaches to its tile's tree end
-            lens[last] = cnt_on[tile[root_c[last]]] - starts[last]
-            root_node[cells_sorted] = np.repeat(np.arange(m), lens)
+            root_rank = np.empty(m, dtype=np.int64)
+            root_rank[rk] = np.arange(m)
+            root_node[pre] = root_rank[tree_id_pre]
         is_pit = ids_p[root_c] == root_c
         ecell = np.where(is_pit, root_c, ids_p[root_c])
         e_on = pos[ecell] >= 0
@@ -535,6 +628,7 @@ class TilePlan:
             tabs["entry_row"] = entry_row.reshape(NT, self.E_rows, _S)
             tabs["entry_lane"] = entry_lane.reshape(NT, self.E_rows, _S)
 
+        _ck("coarse graph")
         self.n_exit_flat = NT * R_pad
         dfs_c = build_plan(coarse_ds, fast=False)
         if max(self.n_exit_flat, NT * max(E_pad, 1)) >= _COARSE_ROUTER_MIN:
@@ -548,34 +642,68 @@ class TilePlan:
                 dfs_c, in_slot, out_slot, self.n_exit_flat, NT * max(E_pad, 1)
             )
 
+        _ck("coarse plan")
         self._dev = None
 
     # -- router construction -------------------------------------------
     def _build_routers(self, sig):
-        """Per-tile local routers (one coloring each; R_out is the free
-        algebraic inverse), threaded over tiles (native colorer releases
-        the GIL)."""
-        from concurrent.futures import ThreadPoolExecutor
-
-        NT = sig.shape[0]
+        """All-tile local routers, vectorized (plan-build scaling): the
+        two Hall colorings run as chunked *disjoint-union* calls into the
+        native Euler-split colorer — one call per ~256 tiles instead of
+        two per tile — and the stage tables and their algebraic inverses
+        (palindromic schedule: no second coloring) assemble as whole-stack
+        numpy scatters. Same tables as per-tile ``RouterPlan.build``.
+        """
+        NT, T = sig.shape
         Y, G = self.Y, self.G
+        S = _S
 
-        def one(t):
-            rin = RouterPlan.build(sig[t])
-            rout = rin.inverse()
-            return rin, rout
+        dest = np.arange(T, dtype=np.int32)
+        sig32 = sig.astype(np.int32, copy=False)
+        ls, ys = sig32 & (S - 1), sig32 >> 7  # (NT, T) source decomposition
+        yd = np.broadcast_to(dest >> 7, sig.shape)
+        ld = np.broadcast_to(dest & (S - 1), sig.shape)
 
-        with ThreadPoolExecutor(4) as ex:
-            plans = list(ex.map(one, range(NT)))
+        # level 1: rows -> rows; color = intermediate lane
+        c = _color_tiles(ys, yd, Y, S)
+        ti = np.arange(NT, dtype=np.int64)[:, None]
+        i1 = np.zeros((NT, Y, S), np.int8)
+        i1[ti, ys, c] = ls.astype(np.int8)
+        i3 = np.zeros((NT, Y, S), np.int8)
+        i3[ti, yd, ld] = c.astype(np.int8)
 
-        tabs = {}
-        for pref, idx in (("rin", 0), ("rout", 1)):
-            tabs[f"{pref}_i1"] = np.stack([p[idx].i1_np for p in plans])
-            tabs[f"{pref}_is1"] = np.stack([p[idx].iS1_np for p in plans])
-            tabs[f"{pref}_is2"] = np.stack([p[idx].iS2_np for p in plans])
-            tabs[f"{pref}_i3"] = np.stack([p[idx].i3_np for p in plans])
-            if G > 1:
-                tabs[f"{pref}_ig"] = np.stack([p[idx].iGp_np for p in plans])
+        # level 2: within each lane column c, route rows (g, s)
+        gs, ss = ys >> 7, ys & (S - 1)
+        gd, sd = yd >> 7, yd & (S - 1)
+        if G == 1:
+            # each color class is a perfect row matching (one edge per
+            # source row, one per dest row), so any per-color bijection
+            # of its 128 edges is a valid second-level routing: c2 = ys
+            # (distinct per color on both sides) — no coloring needed
+            c2 = ys
+        else:
+            c2 = _color_tiles(c * np.int32(G) + gs, c * np.int32(G) + gd, S * G, S)
+        iS1 = np.zeros((NT, Y, S), np.int8)
+        iS1[ti, gs * S + c, c2] = ss.astype(np.int8)
+        iS2 = np.zeros((NT, Y, S), np.int8)
+        iS2[ti, gd * S + c, sd] = c2.astype(np.int8)
+
+        tabs = {
+            "rin_i1": i1,
+            "rin_is1": iS1,
+            "rin_is2": iS2,
+            "rin_i3": i3,
+            "rout_i1": _inv_rows(i3),
+            "rout_is1": _inv_rows(iS2),
+            "rout_is2": _inv_rows(iS1),
+            "rout_i3": _inv_rows(i1),
+        }
+        if G > 1:
+            fib = c2 * S + c
+            iG = np.zeros((NT, S * S, G), np.int8)
+            iG[ti, fib, gd] = gs.astype(np.int8)
+            tabs["rin_ig"] = iG
+            tabs["rout_ig"] = _inv_rows(iG)
         self._tabs_np = tabs
 
     # -- device arrays --------------------------------------------------

@@ -54,11 +54,16 @@ class DfsPlan:
 
     def _dev(self):
         if self._dev3 is None:
-            self._dev3 = (
+            import jax
+
+            t = (
                 jnp.asarray(self.preorder_np),
                 jnp.asarray(self.pos_np),
                 jnp.asarray(self.size_np),
             )
+            if any(isinstance(x, jax.core.Tracer) for x in t):
+                return t  # inside a trace: use, but do not cache
+            self._dev3 = t
         return self._dev3
 
     @property

@@ -830,6 +830,144 @@ class TilePlan:
             out_shape=jax.ShapeDtypeStruct(self.pshape, xg.dtype),
         )(xg, entv, *[arrs[k] for k in keys])
 
+    def _pass_a_tiles(self, xt, arrs, cfg):
+        """Pass A on a (NT', Y, 128) tile stack (shard-local layout)."""
+        keys = self._keys("a")
+        if not _on_tpu():
+            body = lambda x, *tt: _body_a(x, dict(zip(keys, tt)), cfg)
+            return jax.vmap(body)(xt, *[arrs[k] for k in keys])
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        Y = self.Y
+        NTl = xt.shape[0]
+
+        def kern(x_ref, *refs):
+            o_ref = refs[-1]
+            tb = {k: r[0] for k, r in zip(keys, refs[:-1])}
+            o_ref[0] = _body_a(x_ref[0], tb, cfg)
+
+        vm = pltpu.VMEM
+        in_specs = [
+            pl.BlockSpec((1, Y, _S), lambda k: (k, 0, 0), memory_space=vm)
+        ] + [self._tab_spec(pl, vm, k) for k in keys]
+        return pl.pallas_call(
+            kern,
+            grid=(NTl,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, self.R_rows, _S), lambda k: (k, 0, 0), memory_space=vm
+            ),
+            out_shape=jax.ShapeDtypeStruct((NTl, self.R_rows, _S), xt.dtype),
+        )(xt, *[arrs[k] for k in keys])
+
+    def _pass_c_tiles(self, xt, entv, arrs, cfg):
+        """Pass C on a (NT', Y, 128) tile stack, returning the same layout."""
+        keys = self._keys("c")
+        if not _on_tpu():
+            body = lambda x, ea, *tt: _body_c(x, ea, dict(zip(keys, tt)), cfg)
+            return jax.vmap(body)(xt, entv, *[arrs[k] for k in keys])
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        Y = self.Y
+        NTl = xt.shape[0]
+
+        def kern(x_ref, e_ref, *refs):
+            o_ref = refs[-1]
+            tb = {k: r[0] for k, r in zip(keys, refs[:-1])}
+            o_ref[0] = _body_c(x_ref[0], e_ref[0], tb, cfg)
+
+        vm = pltpu.VMEM
+        in_specs = [
+            pl.BlockSpec((1, Y, _S), lambda k: (k, 0, 0), memory_space=vm),
+            pl.BlockSpec((1, self.E_rows, _S), lambda k: (k, 0, 0), memory_space=vm),
+        ] + [self._tab_spec(pl, vm, k) for k in keys]
+        return pl.pallas_call(
+            kern,
+            grid=(NTl,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, Y, _S), lambda k: (k, 0, 0), memory_space=vm),
+            out_shape=jax.ShapeDtypeStruct((NTl, Y, _S), xt.dtype),
+        )(xt, entv, *[arrs[k] for k in keys])
+
+    def _acc_cfg(self, dtype):
+        is_int = jnp.issubdtype(dtype, jnp.integer) or dtype == jnp.bool_
+        x64 = jax.dtypes.canonicalize_dtype(jnp.float64) == jnp.float64
+        if is_int:
+            acc = jnp.int64 if x64 else jnp.int32
+        else:
+            acc = jnp.float64 if x64 else jnp.float32
+        fdt = jnp.float64 if x64 else jnp.float32
+        return self._cfg(acc, is_int and not x64, fdt)
+
+    def accumulate_sharded(self, data, mesh):
+        """Multi-device flow accumulation under ``shard_map`` (SPMD).
+
+        The plan's tile axis is sharded over every mesh axis (flattened
+        row-major); each device runs the same VMEM pass-A / pass-C
+        kernels on its contiguous tile slab, with **one collective** in
+        between: an ``all_gather`` of the per-tile exit records (the
+        hierarchical contraction of SURVEY hard-part 4 — two streaming
+        passes and one gather regardless of flow-path length). Every
+        device then solves the small coarse graph redundantly (cheaper
+        than scattering a ~n/80-node solve) and slices its own entry
+        values. Bitwise-matches :meth:`accumulate` for integer inputs.
+        """
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axes = tuple(mesh.axis_names)
+        ndev = int(mesh.devices.size)
+        if self.NT % ndev:
+            raise ValueError(
+                f"NT={self.NT} tiles must divide over {ndev} devices; pad the"
+                " grid or choose tile_rows so the tile grid splits evenly"
+            )
+        NTl = self.NT // ndev
+        H, W = self.shape
+        Hp, Wp = self.pshape
+        dtype = data.dtype
+        cfg = self._acc_cfg(dtype)
+
+        xg = jnp.asarray(data).reshape(H, W).astype(cfg["acc"])
+        if (Hp, Wp) != (H, W):
+            xg = jnp.pad(xg, ((0, Hp - H), (0, Wp - W)))
+        xt = self._tiles_cpu(xg)
+
+        arrs = self.arrays()
+        tile_keys = sorted(set(self._keys("a") + self._keys("c")))
+        tabs = {k: arrs[k] for k in tile_keys}
+        ts = P(axes)
+
+        def body(xt_l, tabs_l, coarse_l):
+            ex_l = self._pass_a_tiles(xt_l, tabs_l, cfg)
+            ex_g = ex_l
+            for ax in reversed(axes):  # minor axis first: row-major order
+                ex_g = lax.all_gather(ex_g, ax, axis=0, tiled=True)
+            entv = self.coarse.accumulate(ex_g.reshape(-1), coarse_l)
+            pad = self.NT * self.E_rows * _S - entv.shape[0]
+            if pad > 0:
+                entv = jnp.concatenate([entv, jnp.zeros(pad, entv.dtype)])
+            entv = entv.reshape(self.NT, self.E_rows, _S)
+            idx = lax.axis_index(axes[0])
+            for ax in axes[1:]:
+                idx = idx * lax.axis_size(ax) + lax.axis_index(ax)
+            ent_l = lax.dynamic_slice_in_dim(entv, idx * NTl, NTl, 0)
+            return self._pass_c_tiles(xt_l, ent_l, tabs_l, cfg)
+
+        out_t = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(ts, {k: ts for k in tabs}, P()),
+            out_specs=ts,
+            check_rep=False,
+        )(xt, tabs, arrs["coarse"])
+        out = self._untile_cpu(out_t)
+        if (Hp, Wp) != (H, W):
+            out = out[:H, :W]
+        return out.reshape(-1).astype(dtype)
+
     def accumulate(self, data, arrs=None):
         """Flow accumulation of ``data`` ((n,) array, raster order).
 
@@ -843,16 +981,9 @@ class TilePlan:
         H, W = self.shape
         Hp, Wp = self.pshape
         dtype = data.dtype
-        is_int = jnp.issubdtype(dtype, jnp.integer) or dtype == jnp.bool_
-        x64 = jax.dtypes.canonicalize_dtype(jnp.float64) == jnp.float64
-        if is_int:
-            acc = jnp.int64 if x64 else jnp.int32
-        else:
-            acc = jnp.float64 if x64 else jnp.float32
-        fdt = jnp.float64 if x64 else jnp.float32
-        cfg = self._cfg(acc, is_int and not x64, fdt)
+        cfg = self._acc_cfg(dtype)
 
-        xg = jnp.asarray(data).reshape(H, W).astype(acc)
+        xg = jnp.asarray(data).reshape(H, W).astype(cfg["acc"])
         if (Hp, Wp) != (H, W):
             xg = jnp.pad(xg, ((0, Hp - H), (0, Wp - W)))
 

@@ -3,6 +3,7 @@
 from .tiled import (
     make_mesh,
     pad_to_tiles,
+    build_sharded_plan,
     tiled_accumulate,
     tiled_basins,
     tiled_fill,
@@ -15,6 +16,7 @@ from .tiled import (
 __all__ = [
     "make_mesh",
     "pad_to_tiles",
+    "build_sharded_plan",
     "tiled_accumulate",
     "tiled_basins",
     "tiled_fill",

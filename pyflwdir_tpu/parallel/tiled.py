@@ -30,6 +30,7 @@ from ..ops.stencil import local_pointers
 
 __all__ = [
     "make_mesh",
+    "build_sharded_plan",
     "pad_to_tiles",
     "tiled_accumulate",
     "tiled_rank",
@@ -95,22 +96,32 @@ def _exchange_halo(out_pad, ty_axis="ty", tx_axis="tx"):
     left = [(i, (i - 1) % ntx) for i in range(ntx)]
     right = [(i, (i + 1) % ntx) for i in range(ntx)]
 
+    # comm/compute overlap: every ppermute operand is a pure edge-strip
+    # slice — no full-frame copy sits between the data and the
+    # collective, so XLA can issue the row-phase sends immediately and
+    # overlap the interior merge with the column phase.
     # phase 1: rows. my top halo row (contributions to the tile above)
     # ships up; I receive the below tile's top halo, which targets my
-    # bottom interior row — kept in the padded frame so halo-column
-    # entries (corner flows) continue to phase 2.
-    recv_from_below = lax.ppermute(out_pad[0:1, :], ty_axis, up)
-    recv_from_above = lax.ppermute(out_pad[-1:, :], ty_axis, down)
-    buf = out_pad.at[0:1, :].set(0.0).at[-1:, :].set(0.0)
-    buf = buf.at[-2:-1, :].add(recv_from_below)
-    buf = buf.at[1:2, :].add(recv_from_above)
-    # phase 2: columns of the updated buffer (routes corners via 2 hops)
-    recv_from_right = lax.ppermute(buf[:, 0:1], tx_axis, left)
-    recv_from_left = lax.ppermute(buf[:, -1:], tx_axis, right)
-    buf = buf.at[:, 0:1].set(0.0).at[:, -1:].set(0.0)
-    buf = buf.at[:, -2:-1].add(recv_from_right)
-    buf = buf.at[:, 1:2].add(recv_from_left)
-    return buf[1:-1, 1:-1]
+    # bottom interior row; halo-column entries (corner flows) continue
+    # to phase 2 through the (th+2, 1) column operands.
+    rb = lax.ppermute(out_pad[0:1, :], ty_axis, up)  # from below
+    ra = lax.ppermute(out_pad[-1:, :], ty_axis, down)  # from above
+
+    def col(c, rb_c, ra_c):
+        c = c.at[0:1, :].set(0.0).at[-1:, :].set(0.0)
+        return c.at[-2:-1, :].add(rb_c).at[1:2, :].add(ra_c)
+
+    # phase 2: halo columns with shipped rows zeroed and received row
+    # pieces folded in (corners ride the second hop)
+    rr = lax.ppermute(
+        col(out_pad[:, 0:1], rb[:, 0:1], ra[:, 0:1]), tx_axis, left
+    )  # from right
+    rl = lax.ppermute(
+        col(out_pad[:, -1:], rb[:, -1:], ra[:, -1:]), tx_axis, right
+    )  # from left
+    interior = out_pad[1:-1, 1:-1]
+    interior = interior.at[-1:, :].add(rb[:, 1:-1]).at[0:1, :].add(ra[:, 1:-1])
+    return interior.at[:, -1:].add(rr[1:-1, :]).at[:, 0:1].add(rl[1:-1, :])
 
 
 def _gather_halo(v2d, fill):
@@ -127,18 +138,27 @@ def _gather_halo(v2d, fill):
     left = [(i, (i - 1) % ntx) for i in range(ntx)]
     right = [(i, (i + 1) % ntx) for i in range(ntx)]
 
-    buf = jnp.full((th + 2, tw + 2), fill, v2d.dtype).at[1:-1, 1:-1].set(v2d)
-    # rows: my halo row 0 is the above tile's bottom interior row
-    from_above = lax.ppermute(buf[-2:-1, :], "ty", down)
-    from_below = lax.ppermute(buf[1:2, :], "ty", up)
-    buf = buf.at[0:1, :].set(jnp.where(ti == 0, fill, from_above))
-    buf = buf.at[-1:, :].set(jnp.where(ti == nty - 1, fill, from_below))
-    # columns of the updated buffer (corners ride two hops)
-    from_left = lax.ppermute(buf[:, -2:-1], "tx", right)
-    from_right = lax.ppermute(buf[:, 1:2], "tx", left)
-    buf = buf.at[:, 0:1].set(jnp.where(tj == 0, fill, from_left))
-    buf = buf.at[:, -1:].set(jnp.where(tj == ntx - 1, fill, from_right))
-    return buf
+    fillv = jnp.asarray(fill, v2d.dtype)
+    # overlap-friendly: ppermute operands are pure edge-strip slices of
+    # ``v2d`` (rows) or small (th+2, 1) columns (built from the received
+    # rows' corner elements) — the full halo frame assembles only after
+    # the collectives, so sends can issue before any full-tile copy.
+    from_above = lax.ppermute(v2d[-1:, :], "ty", down)
+    from_below = lax.ppermute(v2d[0:1, :], "ty", up)
+    row_top = jnp.where(ti == 0, fillv, from_above)  # my top halo row
+    row_bot = jnp.where(ti == nty - 1, fillv, from_below)
+
+    def col(j0, j1):  # (th+2, 1) edge column incl row-halo corners
+        return jnp.concatenate(
+            [row_top[:, j0:j1], v2d[:, j0:j1], row_bot[:, j0:j1]], axis=0
+        )
+
+    from_left = lax.ppermute(col(-1, None), "tx", right)
+    from_right = lax.ppermute(col(0, 1), "tx", left)
+    col_l = jnp.where(tj == 0, fillv, from_left)
+    col_r = jnp.where(tj == ntx - 1, fillv, from_right)
+    mid = jnp.concatenate([row_top, v2d, row_bot], axis=0)
+    return jnp.concatenate([col_l, mid, col_r], axis=1)
 
 
 def _kill_off_grid_exits(exit_dr, exit_dc, th, tw):
@@ -601,12 +621,26 @@ def tiled_accumulate(
     Matches :func:`pyflwdir_tpu.ops.graph.accumulate` on the parsed graph
     (no-nodata case); the input is padded to the mesh tiling.
 
-    ``method="coarse"`` (default) solves cross-tile flow hierarchically —
-    two collectives regardless of path length (:func:`_tile_step_coarse`);
+    ``method="plan"`` shards a hierarchical
+    :class:`~pyflwdir_tpu.ops.tile_plan.TilePlan` over the mesh — the
+    same per-tile VMEM DFS-interval kernels as the single-chip
+    north-star path, one ``all_gather`` of exit records total (build the
+    plan once via :func:`build_sharded_plan` to amortize it across
+    calls); ``method="coarse"`` (default) solves cross-tile flow
+    hierarchically on the pointer-doubling engine — two collectives
+    regardless of path length (:func:`_tile_step_coarse`);
     ``method="iterate"`` is the halo-exchange fixpoint (one ppermute
     round per tile crossing of the longest path).
     """
     nrow0, ncol0 = codes.shape
+
+    if method == "plan":
+        tp, pshape = build_sharded_plan(codes, mesh)
+        data_p = np.zeros(pshape, dtype=np.float32)
+        data_p[:nrow0, :ncol0] = np.asarray(data, dtype=np.float32)
+        out = tp.accumulate_sharded(jnp.asarray(data_p.ravel()), mesh)
+        return np.asarray(out).reshape(pshape)[:nrow0, :ncol0]
+
     codes_p = pad_to_tiles(np.asarray(codes), mesh, fill=247)
     data_p = pad_to_tiles(np.asarray(data, dtype=np.float32), mesh, fill=0.0)
 
@@ -632,6 +666,22 @@ def tiled_accumulate(
     )
     _check_converged(stalled, "accumulation")
     return np.asarray(out)[:nrow0, :ncol0]
+
+
+def build_sharded_plan(codes: np.ndarray, mesh: Mesh, tile_rows: int = 128):
+    """Build a :class:`~pyflwdir_tpu.ops.tile_plan.TilePlan` whose tile
+    grid splits evenly over ``mesh`` (whole tile-row slabs per device,
+    row-major over the flattened mesh axes). Returns ``(plan, pshape)``
+    where ``pshape`` is the padded grid shape the plan operates on."""
+    from ..codecs import d8 as d8c
+    from ..ops.tile_plan import build_tile_plan
+
+    ndev = int(mesh.devices.size)
+    pr = (-codes.shape[0]) % (tile_rows * ndev)
+    pc = (-codes.shape[1]) % 128
+    codes_p = np.pad(np.asarray(codes), ((0, pr), (0, pc)), constant_values=247)
+    idxs_ds, _, _ = d8c.from_array(codes_p)
+    return build_tile_plan(idxs_ds, codes_p.shape, tile_rows=tile_rows), codes_p.shape
 
 
 def _child_counts(codes, member):

@@ -235,3 +235,34 @@ def test_tiled_accumulate_coarse_vs_iterate(d8_ref_large, n_devices):
     idxs_ds, _, _ = d8c.from_array(d8_ref_large)
     valid = (idxs_ds >= 0).reshape(d8_ref_large.shape)
     assert np.allclose(got[valid], want[valid], rtol=1e-4)
+
+
+def test_tiled_accumulate_plan_matches_monolith(d8_ref_large):
+    """method='plan': the sharded TilePlan (per-tile VMEM DFS kernels +
+    one all_gather of exit records) matches the monolithic accumulation —
+    the multi-device path and the single-chip north-star kernel are the
+    same code."""
+    mesh = make_mesh(8)
+    data = np.ones(d8_ref_large.shape, np.float32)
+    got = tiled_accumulate(d8_ref_large, data, mesh, method="plan")
+    idxs_ds, _, _ = d8c.from_array(d8_ref_large)
+    want = oracle.accuflux(idxs_ds, np.ones(idxs_ds.size), nodata=-9999)
+    valid = (idxs_ds >= 0).reshape(d8_ref_large.shape)
+    assert np.allclose(got[valid], want.reshape(d8_ref_large.shape)[valid])
+
+
+def test_sharded_plan_int_exact(d8_ref_large):
+    """Integer inputs through accumulate_sharded are bitwise-exact vs the
+    single-device tile plan."""
+    from pyflwdir_tpu.parallel import build_sharded_plan
+
+    mesh = make_mesh(8)
+    tp, pshape = build_sharded_plan(d8_ref_large, mesh)
+    rng = np.random.RandomState(5)
+    w = np.zeros(pshape, np.int32)
+    w[: d8_ref_large.shape[0], : d8_ref_large.shape[1]] = rng.randint(
+        0, 1000, size=d8_ref_large.shape
+    )
+    got = np.asarray(tp.accumulate_sharded(jnp.asarray(w.ravel()), mesh))
+    want = np.asarray(tp.accumulate(jnp.asarray(w.ravel())))
+    assert np.array_equal(got, want)

@@ -290,32 +290,34 @@ def bench_big(jax, jnp):
 
 
 def bench_rhine(jax, jnp):
-    """Rhine demo grid through the hierarchical tile plan — the same
-    kernel `FlwdirRaster.upstream_area` dispatches to, so the API-level
-    and plan-level numbers coincide."""
+    """Rhine demo grid through the object API's dispatch path: grids
+    that fit one padded chunk (<= 2^21 cells) go to the single-chunk
+    fused VMEM router (`FlwdirRaster._accumulate_dev` ->
+    `ops/accel.py`), so the API-level and plan-level numbers coincide
+    for `upstream_area(unit='cell')`."""
     from pyflwdir_tpu.codecs import d8 as d8c
-    from pyflwdir_tpu.ops.tile_plan import build_tile_plan
+    from pyflwdir_tpu.ops.accel import build_accel_plan
+    from pyflwdir_tpu.ops.plan import build_plan
 
     rhine = load_rhine()
     idxs_ds, idxs_pit, n_valid = d8c.from_array(rhine)
     n_cells = idxs_ds.size
     t0 = time.time()
-    tp = build_tile_plan(idxs_ds, rhine.shape, tile_rows=128)
+    dfs = build_plan(idxs_ds)
+    aplan = build_accel_plan(idxs_ds, dfs)
     t_build = time.time() - t0
-    data = jnp.ones(n_cells, dtype=jnp.float32)
-    arrs = tp.arrays()
+    data = jnp.ones(n_cells, dtype=jnp.int32)
 
     @jax.jit
-    def accum(x, arrs):
-        return tp.accumulate(x, arrs)
+    def accum(x):
+        return aplan.accumulate(x)
 
-    out = accum(data, arrs)
-    pit_sum = float(np.asarray(out)[idxs_pit].sum())
-    assert abs(pit_sum - n_valid) < 1e-3
+    out = accum(data)
+    pit_sum = int(np.asarray(out)[idxs_pit].sum())
+    assert pit_sum == n_valid
 
     t = _steady_state_time(
-        jax, lambda a, d, arrs: tp.accumulate(_dep(d, a), arrs), data,
-        (data, arrs), 64,
+        jax, lambda a, d: aplan.accumulate(_dep(d, a)), data, (data,), 64
     )
     return {
         "n_cells": n_cells,

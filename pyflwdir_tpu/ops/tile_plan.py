@@ -96,6 +96,33 @@ def _inv_rows(t):
     )
     return out
 
+
+def _pad_bijection_stacked(tk, dk, sk, NT, T):
+    """Per-tile bijections sigma (NT, T) with ``sigma[tk, dk] = sk``.
+
+    ``tk``/``dk``/``sk`` are flat arrays of (tile, dest, src) triples with
+    per-tile-unique dests and srcs; free dests pair with free srcs in
+    index order (vectorized: rank free slots by a row cumsum, meet by
+    rank). Stacked analogue of :func:`ops.accel._pad_bijection`.
+    """
+    sigma = np.full((NT, T), -1, np.int32)
+    sigma[tk, dk] = sk.astype(np.int32)
+    known_src = np.zeros((NT, T), bool)
+    known_src[tk, sk] = True
+    free_dst = sigma < 0
+    rank_d = np.cumsum(free_dst, axis=1)
+    rank_s = np.cumsum(~known_src, axis=1)
+    rows, cols = np.nonzero(free_dst)
+    dst_list = np.empty((NT, T), np.int32)
+    dst_list[rows, rank_d[rows, cols] - 1] = cols
+    rows, cols = np.nonzero(~known_src)
+    src_list = np.empty((NT, T), np.int32)
+    src_list[rows, rank_s[rows, cols] - 1] = cols
+    nfree = rank_d[:, -1]
+    fr, fc = np.nonzero(np.arange(T) < nfree[:, None])
+    sigma[fr, dst_list[fr, fc]] = src_list[fr, fc]
+    return sigma
+
 __all__ = ["TilePlan", "build_tile_plan"]
 
 _HIGH = lax.Precision.HIGHEST
@@ -310,33 +337,33 @@ def _entry_delta(entA, erow, elane, Y, cfg):
     return _combine_planes(outs, cfg)
 
 
-def _rin_tabs(tb):
-    return (tb["rin_i1"], tb["rin_is1"], tb.get("rin_ig"), tb["rin_is2"], tb["rin_i3"])
-
-
-def _rout_tabs(tb):
+def _ptabs(tb, p):
+    """The 5 stage tables of router family ``p`` (ig absent when G=1)."""
     return (
-        tb["rout_i1"],
-        tb["rout_is1"],
-        tb.get("rout_ig"),
-        tb["rout_is2"],
-        tb["rout_i3"],
+        tb[f"{p}_i1"],
+        tb[f"{p}_is1"],
+        tb.get(f"{p}_ig"),
+        tb[f"{p}_is2"],
+        tb[f"{p}_i3"],
     )
 
 
 def _body_a(x, tb, cfg):
-    """Pass A on one (Y, 128) tile: local-root subtree sums (R_rows, 128)."""
-    v = _local_chain(x, *_rin_tabs(tb), cfg["G"])
+    """Pass A on one (Y, 128) tile: local-root subtree sums (R_rows, 128).
+
+    Exit values route through a dedicated 5-stage router (exit slot j <-
+    preorder end of root j — roots have distinct ends, so it is a plain
+    bijection: no one-hot matmuls, dtype-direct)."""
+    v = _local_chain(x, *_ptabs(tb, "rin"), cfg["G"])
     c = _cumsum_tile(v)
-    ce = _sel_gather(_to_planes(c, cfg), tb["exit_er"], tb["exit_el"], cfg["Y"])
-    ce = _combine_planes(ce, cfg)
+    ce = _local_chain(c, *_ptabs(tb, "ex"), cfg["G"])[: cfg["R_rows"]]
     return ce - _flat_prev(ce)
 
 
 def _body_c(x, entA, tb, cfg):
     """Pass C on one (Y, 128) tile: final accumulation in raster order."""
     Y, G = cfg["Y"], cfg["G"]
-    v = _local_chain(x, *_rin_tabs(tb), G)
+    v = _local_chain(x, *_ptabs(tb, "rin"), G)
     if cfg["has_entries"]:
         v = v + _entry_delta(entA, tb["entry_row"], tb["entry_lane"], Y, cfg)
     c = _cumsum_tile(v)
@@ -352,15 +379,26 @@ def _body_c(x, entA, tb, cfg):
 
     zero = jnp.zeros((), c.dtype)
     outp = jnp.where(_mask(tb["near_sel"]), g_near, zero) - g_prev
-    if cfg["has_far"]:
-        # compact interval-end values c[e] per far cell (preorder order),
-        # scattered back to the far cells' dense preorder slots (non-far
-        # slots receive exactly zero; padded entries vanish)
+    if cfg["far_mode"] == "router":
+        # far interval-end values via two bijective routings (AccelPlan's
+        # b-block trick for duplicated ends): c -> distinct ends at slots
+        # b*j -> lane-broadcast within b-blocks -> each far cell's dense
+        # preorder slot. Pure lane gathers, dtype-direct (no planes).
+        w = _local_chain(c, *_ptabs(tb, "fexp"), G)
+        b = cfg["b"]
+        if b > 1:
+            lane = lax.broadcasted_iota(jnp.int32, w.shape, 1)
+            w = _taa(w, (lane // b) * b)
+        fv = _local_chain(w, *_ptabs(tb, "ffar"), G)
+        outp = outp + jnp.where(_mask(tb["far_sel"]), fv, zero)
+    elif cfg["far_mode"] == "onehot":
+        # fallback for pathological duplicate depth (see __init__): the
+        # compact one-hot selection + scatter on exact planes
         cf = _sel_gather(_to_planes(c, cfg), tb["far_er"], tb["far_el"], Y)
         fv = _scatter_planes(cf, tb["far_drow"], tb["far_dlane"], Y)
         outp = outp + _combine_planes(fv, cfg)
 
-    out = _local_chain(outp, *_rout_tabs(tb), G)
+    out = _local_chain(outp, *_ptabs(tb, "rout"), G)
     return jnp.where(_mask(tb["tree_mask"]), out, x)
 
 
@@ -371,7 +409,16 @@ class TilePlan:
     """Per-graph hierarchical accumulation plan over raster tiles."""
 
     # table names by pass; shapes are per tile and stacked over NT
-    _A_KEYS = ("rin_i1", "rin_is1", "rin_is2", "rin_i3", "exit_er", "exit_el")
+    _A_KEYS = (
+        "rin_i1",
+        "rin_is1",
+        "rin_is2",
+        "rin_i3",
+        "ex_i1",
+        "ex_is1",
+        "ex_is2",
+        "ex_i3",
+    )
     _C_KEYS = (
         "rin_i1",
         "rin_is1",
@@ -386,7 +433,18 @@ class TilePlan:
         "near_sel",
         "tree_mask",
     )
-    _C_FAR = ("far_er", "far_el", "far_drow", "far_dlane")
+    _C_FAR_R = (
+        "fexp_i1",
+        "fexp_is1",
+        "fexp_is2",
+        "fexp_i3",
+        "ffar_i1",
+        "ffar_is1",
+        "ffar_is2",
+        "ffar_i3",
+        "far_sel",
+    )
+    _C_FAR_OH = ("far_er", "far_el", "far_drow", "far_dlane")
     _C_ENT = ("entry_row", "entry_lane")
 
     def __init__(self, idxs_ds_np, shape, tile_rows=128):
@@ -529,31 +587,65 @@ class TilePlan:
         tabs["tree_mask"] = tree_mask.reshape(NT, th, _S)
 
         _ck("near tables")
-        # far tables: compact per tile, sorted by preorder slot
+        # far cells (interval end >= 128 positions ahead), sorted by
+        # (tile, preorder slot)
         far_c = np.nonzero(on & (d >= _S))[0]
         far_c = far_c[np.lexsort((slot[far_c], tile[far_c]))]
         cnt_far = np.bincount(tile[far_c], minlength=NT).astype(np.int64)
         self.has_far = far_c.size > 0
+        self.far_mode = None
+        self.b = 1
         F_pad = _r128(cnt_far.max()) if self.has_far else 0
         self.F_rows = F_pad // _S
         if self.has_far:
-            foff = np.concatenate([[0], np.cumsum(cnt_far)])
-            q = np.arange(far_c.size) - np.repeat(foff[:-1], cnt_far)
+            ft = tile[far_c]
             e = slot[far_c] + d[far_c]
-            far_er = np.full((NT, F_pad), th, dtype=np.int16)
-            far_el = np.zeros((NT, F_pad), dtype=np.int8)
-            far_er[tile[far_c], q] = (e // _S).astype(np.int16)
-            far_el[tile[far_c], q] = (e % _S).astype(np.int8)
-            tabs["far_er"] = far_er.reshape(NT, self.F_rows, _S)
-            tabs["far_el"] = far_el.reshape(NT, self.F_rows, _S)
-            # delivery: far cell q's value lands at its dense preorder
-            # slot — a compact scatter table (row Y marks padding)
-            far_drow = np.full((NT, F_pad), th, dtype=np.int16)
-            far_dlane = np.zeros((NT, F_pad), dtype=np.int8)
-            far_drow[tile[far_c], q] = (slot[far_c] // _S).astype(np.int16)
-            far_dlane[tile[far_c], q] = (slot[far_c] % _S).astype(np.int8)
-            tabs["far_drow"] = far_drow.reshape(NT, self.F_rows, _S)
-            tabs["far_dlane"] = far_dlane.reshape(NT, self.F_rows, _S)
+            # group far cells by (tile, end): nested intervals share ends
+            key = ft * np.int64(T) + e
+            uq, inv, dup = np.unique(key, return_inverse=True, return_counts=True)
+            b = 1 << int(int(dup.max() - 1).bit_length())
+            ut = (uq // T).astype(np.int64)
+            ue = uq % T
+            D_t = np.bincount(ut, minlength=NT)
+            if int(D_t.max()) * b <= T and b <= _S:
+                # router scheme: distinct ends land at slots b*j, a
+                # lane-broadcast replicates within b-blocks, a second
+                # router delivers each copy to its far cell's dense slot
+                self.far_mode = "router"
+                self.b = b
+                joff = np.concatenate([[0], np.cumsum(D_t)])
+                j = np.arange(uq.size) - joff[ut]
+                sig_exp = _pad_bijection_stacked(ut, b * j, ue, NT, T)
+                tabs.update(self._stacked_fwd_tables(sig_exp, th, self.G, "fexp"))
+                order_q = np.argsort(inv, kind="stable")
+                gstart = np.concatenate([[0], np.cumsum(dup)[:-1]])
+                rank = np.empty(far_c.size, dtype=np.int64)
+                rank[order_q] = np.arange(far_c.size) - np.repeat(gstart, dup)
+                sig_far = _pad_bijection_stacked(
+                    ft, slot[far_c], b * j[inv] + rank, NT, T
+                )
+                tabs.update(self._stacked_fwd_tables(sig_far, th, self.G, "ffar"))
+                far_sel = np.zeros(NT * T, dtype=np.int8)
+                far_sel[fkey[far_c]] = 1
+                tabs["far_sel"] = far_sel.reshape(NT, th, _S)
+            else:
+                # pathological duplicate depth (e.g. one serpentine chain
+                # spanning the tile): compact one-hot selection + scatter
+                self.far_mode = "onehot"
+                foff = np.concatenate([[0], np.cumsum(cnt_far)])
+                q = np.arange(far_c.size) - np.repeat(foff[:-1], cnt_far)
+                far_er = np.full((NT, F_pad), th, dtype=np.int16)
+                far_el = np.zeros((NT, F_pad), dtype=np.int8)
+                far_er[ft, q] = (e // _S).astype(np.int16)
+                far_el[ft, q] = (e % _S).astype(np.int8)
+                tabs["far_er"] = far_er.reshape(NT, self.F_rows, _S)
+                tabs["far_el"] = far_el.reshape(NT, self.F_rows, _S)
+                far_drow = np.full((NT, F_pad), th, dtype=np.int16)
+                far_dlane = np.zeros((NT, F_pad), dtype=np.int8)
+                far_drow[ft, q] = (slot[far_c] // _S).astype(np.int16)
+                far_dlane[ft, q] = (slot[far_c] % _S).astype(np.int8)
+                tabs["far_drow"] = far_drow.reshape(NT, self.F_rows, _S)
+                tabs["far_dlane"] = far_dlane.reshape(NT, self.F_rows, _S)
 
         _ck("far tables")
         # exits: local roots in (tile, slot) order; consecutive-interval
@@ -577,12 +669,10 @@ class TilePlan:
             last = roff[1:] - 1  # last root of each non-empty tile
             last = last[cnt_r > 0]
             ends[last] = cnt_on[tile[root_c[last]]] - 1
-        exit_er = np.full((NT, R_pad), th, dtype=np.int16)
-        exit_el = np.zeros((NT, R_pad), dtype=np.int8)
-        exit_er[tile[root_c], j] = (ends // _S).astype(np.int16)
-        exit_el[tile[root_c], j] = (ends % _S).astype(np.int8)
-        tabs["exit_er"] = exit_er.reshape(NT, self.R_rows, _S)
-        tabs["exit_el"] = exit_el.reshape(NT, self.R_rows, _S)
+        # exit router: exit slot j <- preorder end of root j (roots have
+        # distinct ends — a plain bijection, dtype-direct in pass A)
+        sig_exit = _pad_bijection_stacked(tile[root_c], j, ends, NT, T)
+        tabs.update(self._stacked_fwd_tables(sig_exit, th, self.G, "ex"))
 
         _ck("exit tables")
         # ---- coarse graph over roots -----------------------------------
@@ -646,16 +736,16 @@ class TilePlan:
         self._dev = None
 
     # -- router construction -------------------------------------------
-    def _build_routers(self, sig):
-        """All-tile local routers, vectorized (plan-build scaling): the
-        two Hall colorings run as chunked *disjoint-union* calls into the
-        native Euler-split colorer — one call per ~256 tiles instead of
-        two per tile — and the stage tables and their algebraic inverses
-        (palindromic schedule: no second coloring) assemble as whole-stack
-        numpy scatters. Same tables as per-tile ``RouterPlan.build``.
+    @staticmethod
+    def _stacked_fwd_tables(sig, Y, G, prefix):
+        """Stage tables of one stacked router family ``sig`` (NT, T),
+        vectorized across tiles (plan-build scaling): the Hall colorings
+        run as chunked *disjoint-union* calls into the native Euler-split
+        colorer — one call per ~256 tiles instead of per tile — and the
+        tables assemble as whole-stack numpy scatters. Same tables as
+        per-tile ``RouterPlan.build``.
         """
         NT, T = sig.shape
-        Y, G = self.Y, self.G
         S = _S
 
         dest = np.arange(T, dtype=np.int32)
@@ -689,21 +779,30 @@ class TilePlan:
         iS2[ti, gd * S + c, sd] = c2.astype(np.int8)
 
         tabs = {
-            "rin_i1": i1,
-            "rin_is1": iS1,
-            "rin_is2": iS2,
-            "rin_i3": i3,
-            "rout_i1": _inv_rows(i3),
-            "rout_is1": _inv_rows(iS2),
-            "rout_is2": _inv_rows(iS1),
-            "rout_i3": _inv_rows(i1),
+            f"{prefix}_i1": i1,
+            f"{prefix}_is1": iS1,
+            f"{prefix}_is2": iS2,
+            f"{prefix}_i3": i3,
         }
         if G > 1:
             fib = c2 * S + c
             iG = np.zeros((NT, S * S, G), np.int8)
             iG[ti, fib, gd] = gs.astype(np.int8)
-            tabs["rin_ig"] = iG
-            tabs["rout_ig"] = _inv_rows(iG)
+            tabs[f"{prefix}_ig"] = iG
+        return tabs
+
+    def _build_routers(self, sig):
+        """Raster <-> preorder routers: forward tables plus the algebraic
+        inverse (palindromic schedule: per-row table inversion, no second
+        coloring)."""
+        f = self._stacked_fwd_tables(sig, self.Y, self.G, "rin")
+        tabs = dict(f)
+        tabs["rout_i1"] = _inv_rows(f["rin_i3"])
+        tabs["rout_is1"] = _inv_rows(f["rin_is2"])
+        tabs["rout_is2"] = _inv_rows(f["rin_is1"])
+        tabs["rout_i3"] = _inv_rows(f["rin_i1"])
+        if self.G > 1:
+            tabs["rout_ig"] = _inv_rows(f["rin_ig"])
         self._tabs_np = tabs
 
     # -- device arrays --------------------------------------------------
@@ -727,19 +826,28 @@ class TilePlan:
             "acc": acc,
             "split": split,
             "fdt": fdt,
-            "has_far": self.has_far,
+            "far_mode": self.far_mode,
+            "b": self.b,
+            "R_rows": self.R_rows,
             "has_entries": self.has_entries,
         }
 
     def _keys(self, which):
-        keys = list(self._A_KEYS if which == "a" else self._C_KEYS)
-        if which == "c" and self.has_far:
-            keys += list(self._C_FAR)
-        if which == "c" and self.has_entries:
+        def igs(prefixes):
+            return [f"{p}_ig" for p in prefixes] if self.G > 1 else []
+
+        if which == "a":
+            return list(self._A_KEYS) + igs(["rin", "ex"])
+        keys = list(self._C_KEYS)
+        routers = ["rin", "rout"]
+        if self.far_mode == "router":
+            keys += list(self._C_FAR_R)
+            routers += ["fexp", "ffar"]
+        elif self.far_mode == "onehot":
+            keys += list(self._C_FAR_OH)
+        if self.has_entries:
             keys += list(self._C_ENT)
-        if self.G > 1:
-            keys += ["rin_ig"] if which == "a" else ["rin_ig", "rout_ig"]
-        return keys
+        return keys + igs(routers)
 
     def _tab_spec(self, pl, vm, name):
         """BlockSpec selecting tile ``i``'s slice of a stacked table."""

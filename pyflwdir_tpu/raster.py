@@ -390,11 +390,20 @@ class FlwdirRaster(Flwdir):
 
     ### ACCUMULATE ###
 
+    # below this size the whole padded graph fits the single-chunk fused
+    # VMEM router (ops/accel.py) — measured ~4x faster than the two-pass
+    # tile plan on the Rhine (the tile plan's per-tile fixed costs don't
+    # amortize until the grid spans many hundreds of tiles)
+    _TILE_PLAN_MIN = 1 << 21
+
     def _accumulate_dev(self, data):
         """Flow accumulation through the cached hierarchical tile plan
         (ops/tile_plan.py: per-tile VMEM DFS-interval kernels + a small
-        coarse pass), falling back to the 1-D graph plans
-        (Flwdir._accumulate_dev) for degenerate geometries."""
+        coarse pass) for HBM-scale grids, or the 1-D graph plans
+        (Flwdir._accumulate_dev: fused single-chunk router / compensated
+        sort-based kernel) when the grid fits a single chunk."""
+        if self.size <= self._TILE_PLAN_MIN:
+            return super()._accumulate_dev(data)
         if "tile_plan" not in self._cached:
             from .ops.tile_plan import build_tile_plan
 

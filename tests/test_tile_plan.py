@@ -114,3 +114,34 @@ def test_tile_plan_float32_backend_accuracy():
     # float32 eps ~ 1.2e-7; tile partial sums bound the error well below
     # a global float32 prefix sum's O(eps * global_total)
     assert np.allclose(out, want, rtol=1e-4, atol=32 * 1.2e-7 * scale)
+
+
+def test_tile_plan_serpentine_onehot_fallback():
+    """A single serpentine chain gives every cell the same interval end
+    (duplicate depth ~ tile size), overflowing the far-router's b-block
+    capacity — the plan must fall back to the one-hot far path and stay
+    exact."""
+    H, W = 256, 128
+    ser = np.zeros((H, W), np.uint8)
+    for r in range(H):
+        ser[r, :] = 16 if r % 2 else 1
+        ser[r, W - 1 if r % 2 == 0 else 0] = 4
+    ser[H - 1, W - 1 if (H - 1) % 2 == 0 else 0] = 0
+    ids, pit, nv = d8c.from_array(ser)
+    tp = build_tile_plan(ids, ser.shape)
+    assert tp.far_mode == "onehot"
+    out = np.asarray(tp.accumulate(jnp.ones(ids.size, jnp.int32)))
+    want = np.asarray(
+        accumulate_planned(build_plan(ids, fast=False), jnp.ones(ids.size, jnp.int64))
+    )
+    assert np.array_equal(out.astype(np.int64), want)
+    assert out[pit].sum() == nv
+
+
+def test_tile_plan_far_router_is_default():
+    """Dendritic (DEM-derived) networks have shallow duplicate depth and
+    must take the router far path (the fast one)."""
+    d8 = _grid((384, 256), seed=5)
+    ids, _, _ = d8c.from_array(d8)
+    tp = build_tile_plan(ids, (384, 256))
+    assert tp.far_mode == "router"

@@ -85,8 +85,21 @@ def _color_tiles(u, v, nside, deg, chunk=256):
     return out
 
 
+def _native(name):
+    """Fetch a native tile-plan builder from the runtime, or None."""
+    try:
+        from .. import runtime
+
+        return getattr(runtime, name, None)
+    except ImportError:
+        return None
+
+
 def _inv_rows(t):
     """Row-wise inverse of stacked permutation tables (..., S)."""
+    nat = _native("tile_inv_rows")
+    if nat is not None and t.dtype == np.int8:
+        return nat(t)
     out = np.zeros_like(t)
     np.put_along_axis(
         out,
@@ -95,6 +108,17 @@ def _inv_rows(t):
         -1,
     )
     return out
+
+
+def _pad_bij(tk, dk, sk, NT, T):
+    """Dispatch :func:`_pad_bijection_stacked` to the native builder when
+    available (``tk`` must be ascending, as all call sites guarantee)."""
+    nat = _native("tile_pad_bijection")
+    if nat is not None:
+        return nat(tk, dk, sk, NT, T)
+    return _pad_bijection_stacked(
+        np.asarray(tk), np.asarray(dk), np.asarray(sk), NT, T
+    )
 
 
 def _pad_bijection_stacked(tk, dk, sk, NT, T):
@@ -110,8 +134,8 @@ def _pad_bijection_stacked(tk, dk, sk, NT, T):
     known_src = np.zeros((NT, T), bool)
     known_src[tk, sk] = True
     free_dst = sigma < 0
-    rank_d = np.cumsum(free_dst, axis=1)
-    rank_s = np.cumsum(~known_src, axis=1)
+    rank_d = np.cumsum(free_dst, axis=1, dtype=np.int32)  # T <= 2^16
+    rank_s = np.cumsum(~known_src, axis=1, dtype=np.int32)
     rows, cols = np.nonzero(free_dst)
     dst_list = np.empty((NT, T), np.int32)
     dst_list[rows, rank_d[rows, cols] - 1] = cols
@@ -493,6 +517,184 @@ class TilePlan:
             ids_p = ids0
 
         _ck("pad/remap")
+        # ---- phase 1: per-tile forest DFS + local tables ---------------
+        # native (csrc/tile_plan_build.cpp, threaded over tiles) when the
+        # library is built, whole-grid numpy otherwise; both produce the
+        # same intermediates (see _phase1_numpy docstring)
+        ph = (
+            self._phase1_native(ids_p)
+            if _native("tile_plan_phase1") is not None
+            else self._phase1_numpy(ids_p)
+        )
+        self._tabs_np = tabs = {}
+        tabs["near_sel"] = ph["near_sel"].reshape(NT, th, _S)
+        tabs["idx_near"] = ph["idx_near"].reshape(NT, th, _S)
+        tabs["sel_next"] = ph["sel_next"].reshape(NT, th, _S)
+        tabs["tree_mask"] = ph["tree_mask"].reshape(NT, th, _S)
+        slot = ph["slot"]
+        root_node = ph["root_node"]
+        cnt_on, cnt_r, cnt_far = ph["cnt_on"], ph["cnt_r"], ph["cnt_far"]
+        root_cell, root_end = ph["root_cell"], ph["root_end"]
+        far_slot, far_end = ph["far_slot"], ph["far_end"]
+
+        _ck("phase 1 (per-tile DFS + local tables)")
+        self._build_routers(ph["sig"])
+        _ck("routers")
+
+        # far cells (interval end >= 128 positions ahead); phase-1 lists
+        # them per tile in preorder-slot order
+        nf = far_slot.size
+        self.has_far = nf > 0
+        self.far_mode = None
+        self.b = 1
+        F_pad = _r128(cnt_far.max()) if self.has_far else 0
+        self.F_rows = F_pad // _S
+        if self.has_far:
+            ft = np.repeat(np.arange(NT, dtype=np.int64), cnt_far)
+            e = far_end.astype(np.int64)
+            fslot = far_slot.astype(np.int64)
+            # group far cells by (tile, end): nested intervals share ends
+            key = ft * np.int64(T) + e
+            uq, inv, dup = np.unique(key, return_inverse=True, return_counts=True)
+            b = 1 << int(int(dup.max() - 1).bit_length())
+            ut = (uq // T).astype(np.int64)
+            ue = uq % T
+            D_t = np.bincount(ut, minlength=NT)
+            if int(D_t.max()) * b <= T and b <= _S:
+                # router scheme: distinct ends land at slots b*j, a
+                # lane-broadcast replicates within b-blocks, a second
+                # router delivers each copy to its far cell's dense slot
+                self.far_mode = "router"
+                self.b = b
+                joff = np.concatenate([[0], np.cumsum(D_t)])
+                j = np.arange(uq.size) - joff[ut]
+                sig_exp = _pad_bij(ut, b * j, ue, NT, T)
+                tabs.update(self._stacked_fwd_tables(sig_exp, th, self.G, "fexp"))
+                order_q = np.argsort(inv, kind="stable")
+                gstart = np.concatenate([[0], np.cumsum(dup)[:-1]])
+                rank = np.empty(nf, dtype=np.int64)
+                rank[order_q] = np.arange(nf) - np.repeat(gstart, dup)
+                sig_far = _pad_bij(ft, fslot, b * j[inv] + rank, NT, T)
+                tabs.update(self._stacked_fwd_tables(sig_far, th, self.G, "ffar"))
+                far_sel = np.zeros(NT * T, dtype=np.int8)
+                far_sel[ft * T + fslot] = 1
+                tabs["far_sel"] = far_sel.reshape(NT, th, _S)
+            else:
+                # pathological duplicate depth (e.g. one serpentine chain
+                # spanning the tile): compact one-hot selection + scatter
+                self.far_mode = "onehot"
+                foff = np.concatenate([[0], np.cumsum(cnt_far)])
+                q = np.arange(nf) - np.repeat(foff[:-1], cnt_far)
+                far_er = np.full((NT, F_pad), th, dtype=np.int16)
+                far_el = np.zeros((NT, F_pad), dtype=np.int8)
+                far_er[ft, q] = (e // _S).astype(np.int16)
+                far_el[ft, q] = (e % _S).astype(np.int8)
+                tabs["far_er"] = far_er.reshape(NT, self.F_rows, _S)
+                tabs["far_el"] = far_el.reshape(NT, self.F_rows, _S)
+                far_drow = np.full((NT, F_pad), th, dtype=np.int16)
+                far_dlane = np.zeros((NT, F_pad), dtype=np.int8)
+                far_drow[ft, q] = (fslot // _S).astype(np.int16)
+                far_dlane[ft, q] = (fslot % _S).astype(np.int8)
+                tabs["far_drow"] = far_drow.reshape(NT, self.F_rows, _S)
+                tabs["far_dlane"] = far_dlane.reshape(NT, self.F_rows, _S)
+
+        _ck("far tables")
+        # exits: local roots in (tile, slot) order with consecutive
+        # preorder intervals; phase-1 already computed each root's end
+        m = root_cell.size
+        rt = np.repeat(np.arange(NT, dtype=np.int64), cnt_r)
+        R_pad = _r128(cnt_r.max() if m else 0)
+        self.R_rows = R_pad // _S
+        roff = np.concatenate([[0], np.cumsum(cnt_r)])
+        j = np.arange(m) - np.repeat(roff[:-1], cnt_r)
+        # exit router: exit slot j <- preorder end of root j (roots have
+        # distinct ends — a plain bijection, dtype-direct in pass A)
+        sig_exit = _pad_bij(rt, j, root_end.astype(np.int64), NT, T)
+        tabs.update(self._stacked_fwd_tables(sig_exit, th, self.G, "ex"))
+
+        _ck("exit tables")
+        # ---- coarse graph over roots -----------------------------------
+        in_slot = rt * R_pad + j
+        is_pit = ids_p[root_cell] == root_cell
+        ecell = np.where(is_pit, root_cell, ids_p[root_cell])
+        e_on = slot[ecell] >= 0
+        coarse_ds = np.full(m, -1, dtype=np.int64)
+        coarse_ds[is_pit] = np.nonzero(is_pit)[0]
+        live = (~is_pit) & e_on
+        coarse_ds[live] = root_node[ecell[live]]
+
+        # entries: one per live root, grouped by destination tile
+        ent_nodes = np.nonzero(live)[0]
+        t2 = self._tile_of(ecell[ent_nodes])
+        order_e = np.lexsort((ent_nodes, t2))
+        ent_nodes = ent_nodes[order_e]
+        t2 = t2[order_e]
+        cnt_e = np.bincount(t2, minlength=NT).astype(np.int64)
+        self.has_entries = ent_nodes.size > 0
+        E_pad = _r128(cnt_e.max()) if self.has_entries else 0
+        self.E_pad = E_pad
+        out_slot = np.full(m, -1, dtype=np.int64)
+        self.E_rows = 1
+        if self.has_entries:
+            eoff = np.concatenate([[0], np.cumsum(cnt_e)])
+            j2 = np.arange(ent_nodes.size) - np.repeat(eoff[:-1], cnt_e)
+            out_slot[ent_nodes] = t2 * E_pad + j2
+            es = slot[ecell[ent_nodes]].astype(np.int64)
+            entry_row = np.full((NT, E_pad), th, dtype=np.int16)
+            entry_lane = np.zeros((NT, E_pad), dtype=np.int8)
+            entry_row[t2, j2] = (es // _S).astype(np.int16)
+            entry_lane[t2, j2] = (es % _S).astype(np.int8)
+            self.E_rows = E_pad // _S
+            tabs["entry_row"] = entry_row.reshape(NT, self.E_rows, _S)
+            tabs["entry_lane"] = entry_lane.reshape(NT, self.E_rows, _S)
+
+        _ck("coarse graph")
+        self.n_exit_flat = NT * R_pad
+        dfs_c = build_plan(coarse_ds, fast=False)
+        if max(self.n_exit_flat, NT * max(E_pad, 1)) >= _COARSE_ROUTER_MIN:
+            self.coarse = BigAccelPlan(
+                dfs_c, coarse_ds, in_slot=in_slot, out_slot=out_slot
+            )
+            if not self.coarse.ok:
+                raise ValueError("coarse graph exceeds router capacity")
+        else:
+            self.coarse = _CoarseGather(
+                dfs_c, in_slot, out_slot, self.n_exit_flat, NT * max(E_pad, 1)
+            )
+
+        _ck("coarse plan")
+        self._dev = None
+
+    # -- phase 1: per-tile DFS + local tables ---------------------------
+    def _tile_of(self, cells):
+        """Tile index of padded-grid cell ids (m-sized arithmetic)."""
+        Wp = self.pshape[1]
+        ntx = self.grid[1]
+        cells = np.asarray(cells, dtype=np.int64)
+        return (cells // Wp // self.Y) * ntx + (cells % Wp) // _S
+
+    def _phase1_native(self, ids_p):
+        from ..runtime import tile_plan_phase1
+
+        Hp, Wp = self.pshape
+        return tile_plan_phase1(ids_p, Hp, Wp, self.Y)
+
+    def _phase1_numpy(self, ids_p):
+        """Whole-grid numpy fallback of the native per-tile DFS phase.
+
+        Returns the phase-1 intermediates: ``sig`` (NT, T) cell->preorder
+        bijections; flat near/sel/tree-mask int8 tables; per-cell ``slot``
+        (-1 off-tree) and ``root_node`` (global root rank of the cell's
+        tree); per-tile counts; root cells/interval-ends in (tile, slot)
+        order; far-cell slots/ends per tile in slot order.
+        """
+        th = self.Y
+        T = th * _S
+        NT = self.NT
+        nty, ntx = self.grid
+        Hp, Wp = self.pshape
+        n = Hp * Wp
+
         # tile/local addresses via int32 broadcast outer adds — no int64
         # div/mod passes over the padded grid; the downstream cell's tile
         # is a gather from the same table
@@ -506,17 +708,15 @@ class TilePlan:
         same = valid & (tds == tile) & (ids_p != cell)
         local_union = np.where(same, ids_p, np.where(valid, cell, -1))
 
-        # one native DFS over the union-of-tile-forests graph: pos/size are
+        # one DFS over the union-of-tile-forests graph: pos/size are
         # per-tile-valid; per-tile preorder = global preorder restricted to
         # the tile (trees stay contiguous, intervals map to intervals)
-        _ck("tile decomposition")
         dfs = build_plan(local_union, fast=False)
         pos = dfs.pos_np  # int32; -1 off-tree
         size = dfs.size_np
         on = pos >= 0
         n_on = int(dfs.preorder_np.size)
 
-        _ck("union DFS")
         # within-tile preorder slots in O(n): the union preorder lists
         # whole trees contiguously, so each maximal run of equal tile in
         # preorder order is one-or-more whole trees — a stable sort of
@@ -545,10 +745,8 @@ class TilePlan:
             )
             slot[pre] = slot_pre
         else:
-            off_on = np.zeros(NT + 1, dtype=np.int64)
             slot_pre = np.zeros(0, dtype=np.int64)
 
-        _ck("slot assignment")
         # local cell -> preorder permutations, one bijection per tile
         sig = np.full((NT, T), -1, dtype=np.int32)
         sig[kt, slot_pre] = loc[pre]
@@ -560,16 +758,10 @@ class TilePlan:
         rank_off = np.arange(off_cells.size) - np.repeat(coff[:-1], cnt_off)
         sig[tile[off_cells], cnt_on[tile[off_cells]] + rank_off] = loc[off_cells]
 
-        _ck("sig build")
-        self._build_routers(sig)
-        _ck("routers")
-        self._tabs_np = getattr(self, "_tabs_np", {})
-        tabs = self._tabs_np
-
-        # near tables, (NT * T,) flat then reshaped (NT, Y, 128)
+        # near tables (preorder layout) + raster-layout tree mask
         d = np.zeros(n, dtype=np.int32)
         d[on] = size[on] - 1
-        fkey = tile * np.int64(T) + slot  # flat (tile, slot) address of on-tree cells
+        fkey = tile * np.int64(T) + slot
         near_sel = np.zeros(NT * T, dtype=np.int8)
         idx_near = np.zeros(NT * T, dtype=np.int8)
         sel_next = np.zeros(NT * T, dtype=np.int8)
@@ -579,174 +771,83 @@ class TilePlan:
         near_sel[near_key] = 1
         idx_near[near_key] = (ln % _S).astype(np.int8)
         sel_next[near_key] = (ln >= _S).astype(np.int8)
-        tabs["near_sel"] = near_sel.reshape(NT, th, _S)
-        tabs["idx_near"] = idx_near.reshape(NT, th, _S)
-        tabs["sel_next"] = sel_next.reshape(NT, th, _S)
         tree_mask = np.zeros(NT * T, dtype=np.int8)
-        tree_mask[kt.astype(np.int64) * T + loc[pre]] = 1  # raster layout
-        tabs["tree_mask"] = tree_mask.reshape(NT, th, _S)
+        tree_mask[kt.astype(np.int64) * T + loc[pre]] = 1
 
-        _ck("near tables")
-        # far cells (interval end >= 128 positions ahead), sorted by
-        # (tile, preorder slot)
+        # far cells sorted by (tile, preorder slot)
         far_c = np.nonzero(on & (d >= _S))[0]
         far_c = far_c[np.lexsort((slot[far_c], tile[far_c]))]
         cnt_far = np.bincount(tile[far_c], minlength=NT).astype(np.int64)
-        self.has_far = far_c.size > 0
-        self.far_mode = None
-        self.b = 1
-        F_pad = _r128(cnt_far.max()) if self.has_far else 0
-        self.F_rows = F_pad // _S
-        if self.has_far:
-            ft = tile[far_c]
-            e = slot[far_c] + d[far_c]
-            # group far cells by (tile, end): nested intervals share ends
-            key = ft * np.int64(T) + e
-            uq, inv, dup = np.unique(key, return_inverse=True, return_counts=True)
-            b = 1 << int(int(dup.max() - 1).bit_length())
-            ut = (uq // T).astype(np.int64)
-            ue = uq % T
-            D_t = np.bincount(ut, minlength=NT)
-            if int(D_t.max()) * b <= T and b <= _S:
-                # router scheme: distinct ends land at slots b*j, a
-                # lane-broadcast replicates within b-blocks, a second
-                # router delivers each copy to its far cell's dense slot
-                self.far_mode = "router"
-                self.b = b
-                joff = np.concatenate([[0], np.cumsum(D_t)])
-                j = np.arange(uq.size) - joff[ut]
-                sig_exp = _pad_bijection_stacked(ut, b * j, ue, NT, T)
-                tabs.update(self._stacked_fwd_tables(sig_exp, th, self.G, "fexp"))
-                order_q = np.argsort(inv, kind="stable")
-                gstart = np.concatenate([[0], np.cumsum(dup)[:-1]])
-                rank = np.empty(far_c.size, dtype=np.int64)
-                rank[order_q] = np.arange(far_c.size) - np.repeat(gstart, dup)
-                sig_far = _pad_bijection_stacked(
-                    ft, slot[far_c], b * j[inv] + rank, NT, T
-                )
-                tabs.update(self._stacked_fwd_tables(sig_far, th, self.G, "ffar"))
-                far_sel = np.zeros(NT * T, dtype=np.int8)
-                far_sel[fkey[far_c]] = 1
-                tabs["far_sel"] = far_sel.reshape(NT, th, _S)
-            else:
-                # pathological duplicate depth (e.g. one serpentine chain
-                # spanning the tile): compact one-hot selection + scatter
-                self.far_mode = "onehot"
-                foff = np.concatenate([[0], np.cumsum(cnt_far)])
-                q = np.arange(far_c.size) - np.repeat(foff[:-1], cnt_far)
-                far_er = np.full((NT, F_pad), th, dtype=np.int16)
-                far_el = np.zeros((NT, F_pad), dtype=np.int8)
-                far_er[ft, q] = (e // _S).astype(np.int16)
-                far_el[ft, q] = (e % _S).astype(np.int8)
-                tabs["far_er"] = far_er.reshape(NT, self.F_rows, _S)
-                tabs["far_el"] = far_el.reshape(NT, self.F_rows, _S)
-                far_drow = np.full((NT, F_pad), th, dtype=np.int16)
-                far_dlane = np.zeros((NT, F_pad), dtype=np.int8)
-                far_drow[ft, q] = (slot[far_c] // _S).astype(np.int16)
-                far_dlane[ft, q] = (slot[far_c] % _S).astype(np.int8)
-                tabs["far_drow"] = far_drow.reshape(NT, self.F_rows, _S)
-                tabs["far_dlane"] = far_dlane.reshape(NT, self.F_rows, _S)
+        far_slot = slot[far_c].astype(np.int32)
+        far_end = (slot[far_c] + d[far_c]).astype(np.int32)
 
-        _ck("far tables")
-        # exits: local roots in (tile, slot) order; consecutive-interval
-        # ends. Roots are the tree starts of the union preorder — no
-        # full-grid nonzero/lexsort, just the ~m-element root sort.
+        # roots (tree starts of the union preorder) in (tile, slot) order
         tree_start = local_union[pre] == pre
         tree_id_pre = np.cumsum(tree_start) - 1
         roots_pre = pre[tree_start]
         rk = np.lexsort((slot[roots_pre], tile[roots_pre]))
         root_c = roots_pre[rk]
         cnt_r = np.bincount(tile[root_c], minlength=NT).astype(np.int64)
-        R_pad = _r128(cnt_r.max() if root_c.size else 0)
-        self.R_rows = R_pad // _S
+        m = root_c.size
         roff = np.concatenate([[0], np.cumsum(cnt_r)])
-        j = np.arange(root_c.size) - np.repeat(roff[:-1], cnt_r)
         starts = slot[root_c]
         ends = np.empty_like(starts)
         ends[:-1] = starts[1:] - 1
-        if root_c.size:
+        if m:
             ends[-1] = 0
             last = roff[1:] - 1  # last root of each non-empty tile
             last = last[cnt_r > 0]
             ends[last] = cnt_on[tile[root_c[last]]] - 1
-        # exit router: exit slot j <- preorder end of root j (roots have
-        # distinct ends — a plain bijection, dtype-direct in pass A)
-        sig_exit = _pad_bijection_stacked(tile[root_c], j, ends, NT, T)
-        tabs.update(self._stacked_fwd_tables(sig_exit, th, self.G, "ex"))
-
-        _ck("exit tables")
-        # ---- coarse graph over roots -----------------------------------
-        m = root_c.size
-        in_slot = tile[root_c] * R_pad + j
-        # node id of the local root of any on-tree cell: the tree id in
-        # preorder order, remapped to the (tile, slot) root numbering
+        # global root rank of each on-tree cell's tree
         root_node = np.full(n, -1, dtype=np.int64)
         if m:
             root_rank = np.empty(m, dtype=np.int64)
             root_rank[rk] = np.arange(m)
             root_node[pre] = root_rank[tree_id_pre]
-        is_pit = ids_p[root_c] == root_c
-        ecell = np.where(is_pit, root_c, ids_p[root_c])
-        e_on = pos[ecell] >= 0
-        coarse_ds = np.full(m, -1, dtype=np.int64)
-        coarse_ds[is_pit] = np.nonzero(is_pit)[0]
-        live = (~is_pit) & e_on
-        coarse_ds[live] = root_node[ecell[live]]
 
-        # entries: one per live root, grouped by destination tile
-        ent_nodes = np.nonzero(live)[0]
-        t2 = tile[ecell[ent_nodes]]
-        order_e = np.lexsort((ent_nodes, t2))
-        ent_nodes = ent_nodes[order_e]
-        t2 = t2[order_e]
-        cnt_e = np.bincount(t2, minlength=NT).astype(np.int64)
-        self.has_entries = ent_nodes.size > 0
-        E_pad = _r128(cnt_e.max()) if self.has_entries else 0
-        self.E_pad = E_pad
-        out_slot = np.full(m, -1, dtype=np.int64)
-        self.E_rows = 1
-        if self.has_entries:
-            eoff = np.concatenate([[0], np.cumsum(cnt_e)])
-            j2 = np.arange(ent_nodes.size) - np.repeat(eoff[:-1], cnt_e)
-            out_slot[ent_nodes] = t2 * E_pad + j2
-            es = slot[ecell[ent_nodes]]
-            entry_row = np.full((NT, E_pad), th, dtype=np.int16)
-            entry_lane = np.zeros((NT, E_pad), dtype=np.int8)
-            entry_row[t2, j2] = (es // _S).astype(np.int16)
-            entry_lane[t2, j2] = (es % _S).astype(np.int8)
-            self.E_rows = E_pad // _S
-            tabs["entry_row"] = entry_row.reshape(NT, self.E_rows, _S)
-            tabs["entry_lane"] = entry_lane.reshape(NT, self.E_rows, _S)
-
-        _ck("coarse graph")
-        self.n_exit_flat = NT * R_pad
-        dfs_c = build_plan(coarse_ds, fast=False)
-        if max(self.n_exit_flat, NT * max(E_pad, 1)) >= _COARSE_ROUTER_MIN:
-            self.coarse = BigAccelPlan(
-                dfs_c, coarse_ds, in_slot=in_slot, out_slot=out_slot
-            )
-            if not self.coarse.ok:
-                raise ValueError("coarse graph exceeds router capacity")
-        else:
-            self.coarse = _CoarseGather(
-                dfs_c, in_slot, out_slot, self.n_exit_flat, NT * max(E_pad, 1)
-            )
-
-        _ck("coarse plan")
-        self._dev = None
+        return {
+            "sig": sig,
+            "near_sel": near_sel,
+            "idx_near": idx_near,
+            "sel_next": sel_next,
+            "tree_mask": tree_mask,
+            "slot": slot,
+            "root_node": root_node,
+            "cnt_on": cnt_on,
+            "cnt_r": cnt_r,
+            "cnt_far": cnt_far,
+            "root_cell": root_c.astype(np.int64),
+            "root_end": ends.astype(np.int32),
+            "far_slot": far_slot,
+            "far_end": far_end,
+        }
 
     # -- router construction -------------------------------------------
     @staticmethod
     def _stacked_fwd_tables(sig, Y, G, prefix):
         """Stage tables of one stacked router family ``sig`` (NT, T),
-        vectorized across tiles (plan-build scaling): the Hall colorings
-        run as chunked *disjoint-union* calls into the native Euler-split
-        colorer — one call per ~256 tiles instead of per tile — and the
-        tables assemble as whole-stack numpy scatters. Same tables as
-        per-tile ``RouterPlan.build``.
+        vectorized across tiles (plan-build scaling). Preferred path: the
+        fully native per-tile builder (csrc/tile_plan_build.cpp — DFS-free
+        per-tile Euler colorings + direct table scatters, threaded over
+        tiles, everything cache-resident). Numpy fallback: chunked
+        *disjoint-union* calls into the native Euler-split colorer — one
+        call per ~256 tiles — and whole-stack numpy scatters. Same tables
+        as per-tile ``RouterPlan.build``.
         """
         NT, T = sig.shape
         S = _S
+        nat = _native("tile_fwd_tables")
+        if nat is not None:
+            i1, is1, is2, i3, ig = nat(sig, Y, G)
+            tabs = {
+                f"{prefix}_i1": i1,
+                f"{prefix}_is1": is1,
+                f"{prefix}_is2": is2,
+                f"{prefix}_i3": i3,
+            }
+            if G > 1:
+                tabs[f"{prefix}_ig"] = ig
+            return tabs
 
         dest = np.arange(T, dtype=np.int32)
         sig32 = sig.astype(np.int32, copy=False)
@@ -796,14 +897,14 @@ class TilePlan:
         inverse (palindromic schedule: per-row table inversion, no second
         coloring)."""
         f = self._stacked_fwd_tables(sig, self.Y, self.G, "rin")
-        tabs = dict(f)
+        tabs = self._tabs_np
+        tabs.update(f)
         tabs["rout_i1"] = _inv_rows(f["rin_i3"])
         tabs["rout_is1"] = _inv_rows(f["rin_is2"])
         tabs["rout_is2"] = _inv_rows(f["rin_is1"])
         tabs["rout_i3"] = _inv_rows(f["rin_i1"])
         if self.G > 1:
             tabs["rout_ig"] = _inv_rows(f["rin_ig"])
-        self._tabs_np = tabs
 
     # -- device arrays --------------------------------------------------
     def arrays(self):

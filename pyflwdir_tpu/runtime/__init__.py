@@ -621,11 +621,123 @@ if _lib is not None:
             float(minlen), float(minupa), int(pit_out_of_cell),
         )
 
+    # -- native tile-plan construction (csrc/tile_plan_build.cpp) --------
+    _lib.tp_phase1.restype = ctypes.c_void_p
+    _lib.tp_phase1.argtypes = [
+        _I64P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        _I32P, _I8P, _I8P, _I8P, _I8P, _I32P, _I32P,
+        _I64P, _I64P, _I64P, _I64P, _I64P,
+    ]
+    _lib.tp_phase1_export.restype = None
+    _lib.tp_phase1_export.argtypes = [ctypes.c_void_p, _I64P, _I32P, _I32P, _I32P]
+    _lib.tp_pad_bijection.restype = None
+    _lib.tp_pad_bijection.argtypes = [
+        _I64P, _I64P, _I64P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        _I32P,
+    ]
+    _lib.tp_fwd_tables.restype = None
+    _lib.tp_fwd_tables.argtypes = [
+        _I32P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        _I8P, _I8P, _I8P, _I8P, ctypes.c_void_p,
+    ]
+    _lib.tp_inv_rows.restype = None
+    _lib.tp_inv_rows.argtypes = [_I8P, ctypes.c_int64, ctypes.c_int64, _I8P]
+
+    def tile_plan_phase1(ids_p, Hp, Wp, th):
+        """Per-tile forest DFS and table fill for the TilePlan build
+        (csrc/tile_plan_build.cpp::tp_phase1); returns a dict of the
+        phase-1 intermediates (see ops/tile_plan.py)."""
+        S = 128
+        nty, ntx = Hp // th, Wp // S
+        NT = nty * ntx
+        T = th * S
+        n = Hp * Wp
+        ids_p = np.ascontiguousarray(ids_p, dtype=np.int64)
+        sig = np.empty((NT, T), np.int32)
+        near_sel = np.zeros(NT * T, np.int8)
+        idx_near = np.zeros(NT * T, np.int8)
+        sel_next = np.zeros(NT * T, np.int8)
+        tree_mask = np.empty(NT * T, np.int8)
+        slot = np.empty(n, np.int32)
+        root_node = np.empty(n, np.int32)
+        cnt_on = np.empty(NT, np.int64)
+        cnt_r = np.empty(NT, np.int64)
+        cnt_far = np.empty(NT, np.int64)
+        m = ctypes.c_int64()
+        nf = ctypes.c_int64()
+        h = _lib.tp_phase1(
+            ids_p.ctypes.data_as(_I64P), Hp, Wp, th,
+            sig.ctypes.data_as(_I32P), near_sel.ctypes.data_as(_I8P),
+            idx_near.ctypes.data_as(_I8P), sel_next.ctypes.data_as(_I8P),
+            tree_mask.ctypes.data_as(_I8P), slot.ctypes.data_as(_I32P),
+            root_node.ctypes.data_as(_I32P), cnt_on.ctypes.data_as(_I64P),
+            cnt_r.ctypes.data_as(_I64P), cnt_far.ctypes.data_as(_I64P),
+            ctypes.byref(m), ctypes.byref(nf),
+        )
+        root_cell = np.empty(m.value, np.int64)
+        root_end = np.empty(m.value, np.int32)
+        far_slot = np.empty(nf.value, np.int32)
+        far_end = np.empty(nf.value, np.int32)
+        _lib.tp_phase1_export(
+            h, root_cell.ctypes.data_as(_I64P), root_end.ctypes.data_as(_I32P),
+            far_slot.ctypes.data_as(_I32P), far_end.ctypes.data_as(_I32P),
+        )
+        return {
+            "sig": sig, "near_sel": near_sel, "idx_near": idx_near,
+            "sel_next": sel_next, "tree_mask": tree_mask, "slot": slot,
+            "root_node": root_node, "cnt_on": cnt_on, "cnt_r": cnt_r,
+            "cnt_far": cnt_far, "root_cell": root_cell, "root_end": root_end,
+            "far_slot": far_slot, "far_end": far_end,
+        }
+
+    def tile_pad_bijection(tk, dk, sk, NT, T):
+        """Pad per-tile partial bijections (tk ascending) into (NT, T)
+        int32 sigma tables (csrc/tile_plan_build.cpp::tp_pad_bijection)."""
+        tk = _i64(tk)
+        dk = _i64(dk)
+        sk = _i64(sk)
+        sigma = np.empty((int(NT), int(T)), np.int32)
+        _lib.tp_pad_bijection(
+            tk.ctypes.data_as(_I64P), dk.ctypes.data_as(_I64P),
+            sk.ctypes.data_as(_I64P), tk.size, int(NT), int(T),
+            sigma.ctypes.data_as(_I32P),
+        )
+        return sigma
+
+    def tile_fwd_tables(sig, Y, G):
+        """Stacked 5-stage router tables incl. per-tile Hall colorings
+        (csrc/tile_plan_build.cpp::tp_fwd_tables)."""
+        sig = np.ascontiguousarray(sig, dtype=np.int32)
+        NT = sig.shape[0]
+        i1 = np.empty((NT, Y, 128), np.int8)
+        is1 = np.empty((NT, Y, 128), np.int8)
+        is2 = np.empty((NT, Y, 128), np.int8)
+        i3 = np.empty((NT, Y, 128), np.int8)
+        ig = np.empty((NT, 128 * 128, G), np.int8) if G > 1 else None
+        _lib.tp_fwd_tables(
+            sig.ctypes.data_as(_I32P), NT, int(Y), int(G),
+            i1.ctypes.data_as(_I8P), is1.ctypes.data_as(_I8P),
+            is2.ctypes.data_as(_I8P), i3.ctypes.data_as(_I8P),
+            ig.ctypes.data_as(_I8P) if ig is not None else None,
+        )
+        return i1, is1, is2, i3, ig
+
+    def tile_inv_rows(t):
+        """Row-wise inverse of stacked permutation tables (..., S)."""
+        t = np.ascontiguousarray(t, dtype=np.int8)
+        out = np.empty_like(t)
+        s = t.shape[-1]
+        _lib.tp_inv_rows(
+            t.ctypes.data_as(_I8P), t.size // s, s, out.ctypes.data_as(_I8P)
+        )
+        return out
+
     __all__ = ["priority_flood", "accuflux_sweep", "spread2d",
                "strahler_order", "classic_order", "channel_paths",
                "stream_segments", "smooth_rivlen", "subbasin_area_outlets",
                "adjust_elevation", "repair_profile", "dig_d4",
                "fixed_windows", "trace_walks", "ihu_relocate",
-               "ihu_opt_rivlen", "ihu_min_error"]
+               "ihu_opt_rivlen", "ihu_min_error", "tile_plan_phase1",
+               "tile_pad_bijection", "tile_fwd_tables", "tile_inv_rows"]
 else:
     __all__ = []

@@ -145,3 +145,56 @@ def test_tile_plan_far_router_is_default():
     ids, _, _ = d8c.from_array(d8)
     tp = build_tile_plan(ids, (384, 256))
     assert tp.far_mode == "router"
+
+
+def test_native_phase1_matches_numpy():
+    """The native per-tile builder (csrc/tile_plan_build.cpp) and the
+    whole-grid numpy fallback must produce equivalent plans: identical
+    phase-1 intermediates (both DFS the forest with raster-ordered roots
+    and children) and equal accumulation results."""
+    from pyflwdir_tpu.ops import tile_plan as tpm
+
+    if tpm._native("tile_plan_phase1") is None:
+        pytest.skip("native library not built")
+    d8 = _grid((300, 200), seed=9)
+    ids, pit, nv = d8c.from_array(d8)
+    tp_nat = build_tile_plan(ids, d8.shape)
+
+    orig = tpm._native
+    tpm._native = lambda name: None
+    try:
+        tp_np = build_tile_plan(ids, d8.shape)
+    finally:
+        tpm._native = orig
+
+    x = jnp.asarray(
+        (np.arange(ids.size, dtype=np.int64) % 13 + 1).astype(np.int32)
+    )
+    out_nat = np.asarray(tp_nat.accumulate(x))
+    out_np = np.asarray(tp_np.accumulate(x))
+    assert np.array_equal(out_nat, out_np)
+    ph_nat = tp_nat._phase1_native(_pad_ids(ids, d8.shape, tp_nat))
+    ph_np = tp_nat._phase1_numpy(_pad_ids(ids, d8.shape, tp_nat))
+    for k in ("sig", "slot", "cnt_on", "cnt_r", "cnt_far", "root_cell",
+              "root_end", "far_slot", "far_end", "near_sel", "idx_near",
+              "sel_next", "tree_mask", "root_node"):
+        assert np.array_equal(
+            np.asarray(ph_nat[k]).astype(np.int64),
+            np.asarray(ph_np[k]).astype(np.int64),
+        ), k
+
+
+def _pad_ids(ids, shape, tp):
+    H, W = shape
+    Hp, Wp = tp.pshape
+    ids0 = np.asarray(ids, dtype=np.int64).ravel()
+    if (Hp, Wp) == (H, W):
+        return ids0
+    v0 = ids0 >= 0
+    src = np.arange(ids0.size, dtype=np.int64)
+    new_of = (src // W) * Wp + src % W
+    ids_p = np.full(Hp * Wp, -1, dtype=np.int64)
+    tgt = np.full(ids0.size, -1, dtype=np.int64)
+    tgt[v0] = (ids0[v0] // W) * Wp + ids0[v0] % W
+    ids_p[new_of] = tgt
+    return ids_p

@@ -468,3 +468,64 @@ void tp_inv_rows(const int8_t* t, int64_t rows, int64_t s, int8_t* out) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native flow-direction raster parsing (codecs/{d8,ldd}.py from_array):
+// LUT-decode each cell's (dr, dc), resolve the downstream flat index with
+// edge/nodata-to-pit semantics (reference core_d8.py:43-67), and collect
+// pit indices — one threaded pass + a pit-fill pass, replacing ~10
+// whole-grid numpy temporaries. Generic over the codec via the two LUTs.
+// ---------------------------------------------------------------------------
+extern "C" void flw_from_array_lut(const uint8_t* flw, const int8_t* drlut,
+                                   const int8_t* dclut, uint8_t mv,
+                                   int64_t nrow, int64_t ncol,
+                                   int32_t* idxs_ds, int64_t* pit_count,
+                                   int64_t* valid_count) {
+  const int64_t blk = 64;  // rows per work item
+  const int64_t nb = (nrow + blk - 1) / blk;
+  std::vector<int64_t> pits_b(nb, 0), valid_b(nb, 0);
+  parallel_tiles(nb, [&](int64_t bi, int) {
+    const int64_t r1 = std::min(nrow, (bi + 1) * blk);
+    int64_t np_ = 0, nv = 0;
+    for (int64_t r = bi * blk; r < r1; ++r) {
+      const uint8_t* row = flw + r * ncol;
+      int32_t* orow = idxs_ds + r * ncol;
+      for (int64_t c = 0; c < ncol; ++c) {
+        const uint8_t d = row[c];
+        if (d == mv) {
+          orow[c] = -1;
+          continue;
+        }
+        ++nv;
+        const int64_t rd = r + drlut[d], cd = c + dclut[d];
+        const bool pit = drlut[d] == 0 && dclut[d] == 0;
+        const bool outside = rd < 0 || rd >= nrow || cd < 0 || cd >= ncol;
+        if (pit || outside || flw[rd * ncol + cd] == mv) {
+          orow[c] = (int32_t)(r * ncol + c);
+          ++np_;
+        } else {
+          orow[c] = (int32_t)(rd * ncol + cd);
+        }
+      }
+    }
+    pits_b[bi] = np_;
+    valid_b[bi] = nv;
+  });
+  int64_t tp = 0, tv = 0;
+  for (int64_t b = 0; b < nb; ++b) {
+    const int64_t p = pits_b[b], v = valid_b[b];
+    pits_b[b] = tp;
+    tp += p;
+    tv += v;
+  }
+  *pit_count = tp;
+  *valid_count = tv;
+}
+
+// second pass: fill the ascending pit index list (idxs_ds[i] == i)
+extern "C" void flw_collect_pits(const int32_t* idxs_ds, int64_t n,
+                                 int32_t* pits) {
+  int64_t k = 0;
+  for (int64_t i = 0; i < n; ++i)
+    if (idxs_ds[i] == (int32_t)i) pits[k++] = (int32_t)i;
+}

@@ -56,6 +56,13 @@ def from_array(flwdir, _mv=_mv, dtype=np.int32):
     flwdir = np.asarray(flwdir)
     nrow, ncol = flwdir.shape
     n = flwdir.size
+    if dtype == np.int32 and flwdir.dtype == np.uint8 and n < 2**31 - 1:
+        try:  # native threaded parse (csrc/tile_plan_build.cpp)
+            from ..runtime import flw_from_array_lut
+
+            return flw_from_array_lut(flwdir, _DR_LUT, _DC_LUT, _mv)
+        except ImportError:
+            pass
     # 2-D int32 broadcast arithmetic: no int64 div/mod passes over the
     # grid (the row/col of a cell are its array coordinates)
     it = np.int64 if n > np.iinfo(np.int32).max else np.int32

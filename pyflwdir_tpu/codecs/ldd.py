@@ -45,6 +45,13 @@ def from_array(flwdir, _mv=_mv, dtype=np.int32):
     """2-D LDD raster -> (idxs_ds, idxs_pit, n). Parity: core_ldd.py:42-66."""
     flwdir = np.asarray(flwdir)
     nrow, ncol = flwdir.shape
+    if dtype == np.int32 and flwdir.dtype == np.uint8 and flwdir.size < 2**31 - 1:
+        try:  # native threaded parse (csrc/tile_plan_build.cpp)
+            from ..runtime import flw_from_array_lut
+
+            return flw_from_array_lut(flwdir, _DR_LUT, _DC_LUT, _mv)
+        except ImportError:
+            pass
     flat = flwdir.ravel()
     valid = flat != _mv
     dr = _DR_LUT[flat].astype(np.int64)

@@ -316,6 +316,17 @@ def _sel_gather(planes, er, el, Ysrc):
     return [c[0] if len(c) == 1 else jnp.concatenate(c, axis=0) for c in chunks]
 
 
+def _row_gather(planes, rtab, Y):
+    """Static per-row row gather ``out[r, :] = p[rtab[r], :]`` from (Y, 128)
+    source planes; ``rtab`` is an (F, 128) row-broadcast int16 table. One
+    (F, Y) one-hot and one MXU matmul per plane — exact (pure selection)."""
+    fdt = planes[0].dtype
+    r1 = lax.slice_in_dim(rtab, 0, 1, axis=1).astype(jnp.int32)  # (F, 1)
+    io = lax.broadcasted_iota(jnp.int32, (rtab.shape[0], Y), 1)
+    oh = (r1 == io).astype(fdt)
+    return [jnp.dot(oh, p, precision=_HIGH) for p in planes]
+
+
 def _scatter_planes(planes, drow, dlane, Y):
     """Dense (Y, 128) scatter of compact per-plane values:
     ``delta[y, l] = sum_e [drow[e] == y] * p[e] * [dlane[e] == l]``
@@ -350,7 +361,10 @@ def _flat_prev(v):
     lane = lax.broadcasted_iota(jnp.int32, v.shape, 1)
     idx_prev = jnp.mod(lane - 1, _S)
     zrow = jnp.zeros((1, v.shape[1]), v.dtype)
-    v_prevrow = jnp.concatenate([zrow, v[:-1]], axis=0)
+    if v.shape[0] == 1:  # Mosaic rejects (0, 128) slices
+        v_prevrow = zrow
+    else:
+        v_prevrow = jnp.concatenate([zrow, v[:-1]], axis=0)
     return jnp.where(lane == 0, _taa(v_prevrow, idx_prev), _taa(v, idx_prev))
 
 
@@ -375,13 +389,16 @@ def _ptabs(tb, p):
 def _body_a(x, tb, cfg):
     """Pass A on one (Y, 128) tile: local-root subtree sums (R_rows, 128).
 
-    Exit values route through a dedicated 5-stage router (exit slot j <-
-    preorder end of root j — roots have distinct ends, so it is a plain
-    bijection: no one-hot matmuls, dtype-direct)."""
+    Exit values are read by a compact one-hot selection (exit slot j <-
+    preorder end of root j): R_pad is tiny (roots ~ tile-border cells), so
+    two small MXU matmuls beat a dedicated 5-stage router — and drop a
+    whole colored table family from the plan."""
     v = _local_chain(x, *_ptabs(tb, "rin"), cfg["G"])
     c = _cumsum_tile(v)
-    ce = _local_chain(c, *_ptabs(tb, "ex"), cfg["G"])[: cfg["R_rows"]]
-    return ce - _flat_prev(ce)
+    planes = _to_planes(c, cfg)
+    pe = _sel_gather(planes, tb["ex_er"], tb["ex_el"], cfg["Y"])
+    ps = _sel_gather(planes, tb["ex_pr"], tb["ex_pl"], cfg["Y"])
+    return _combine_planes(pe, cfg) - _combine_planes(ps, cfg)
 
 
 def _body_c(x, entA, tb, cfg):
@@ -415,12 +432,28 @@ def _body_c(x, entA, tb, cfg):
             w = _taa(w, (lane // b) * b)
         fv = _local_chain(w, *_ptabs(tb, "ffar"), G)
         outp = outp + jnp.where(_mask(tb["far_sel"]), fv, zero)
-    elif cfg["far_mode"] == "onehot":
-        # fallback for pathological duplicate depth (see __init__): the
-        # compact one-hot selection + scatter on exact planes
-        cf = _sel_gather(_to_planes(c, cfg), tb["far_er"], tb["far_el"], Y)
-        fv = _scatter_planes(cf, tb["far_drow"], tb["far_dlane"], Y)
-        outp = outp + _combine_planes(fv, cfg)
+    elif cfg["far_mode"] == "packed":
+        # dense group expansion for pathological duplicate depth (see
+        # __init__): pack distinct-end prefix values via the fexp router,
+        # broadcast each to its duplicates through a static row-pair
+        # one-hot + lane gather (exact per plane), deliver via ffar
+        w = _local_chain(c, *_ptabs(tb, "fexp"), G)
+        planes = _to_planes(w, cfg)
+        lo = _row_gather(planes, tb["far_rlo"], Y)
+        hi = _row_gather(planes, tb["far_rhi"], Y)
+        bhi = _mask(tb["far_bhi"])
+        vals = [
+            jnp.where(bhi, _taa(h, tb["far_bidx"]), _taa(l, tb["far_bidx"]))
+            for l, h in zip(lo, hi)
+        ]
+        wv = _combine_planes(vals, cfg)
+        pad_rows = Y - wv.shape[0]
+        if pad_rows > 0:
+            wv = jnp.concatenate(
+                [wv, jnp.zeros((pad_rows, _S), wv.dtype)], axis=0
+            )
+        fv = _local_chain(wv, *_ptabs(tb, "ffar"), G)
+        outp = outp + jnp.where(_mask(tb["far_sel"]), fv, zero)
 
     out = _local_chain(outp, *_ptabs(tb, "rout"), G)
     return jnp.where(_mask(tb["tree_mask"]), out, x)
@@ -438,10 +471,10 @@ class TilePlan:
         "rin_is1",
         "rin_is2",
         "rin_i3",
-        "ex_i1",
-        "ex_is1",
-        "ex_is2",
-        "ex_i3",
+        "ex_er",
+        "ex_el",
+        "ex_pr",
+        "ex_pl",
     )
     _C_KEYS = (
         "rin_i1",
@@ -468,7 +501,21 @@ class TilePlan:
         "ffar_i3",
         "far_sel",
     )
-    _C_FAR_OH = ("far_er", "far_el", "far_drow", "far_dlane")
+    _C_FAR_P = (
+        "fexp_i1",
+        "fexp_is1",
+        "fexp_is2",
+        "fexp_i3",
+        "ffar_i1",
+        "ffar_is1",
+        "ffar_is2",
+        "ffar_i3",
+        "far_sel",
+        "far_rlo",
+        "far_rhi",
+        "far_bhi",
+        "far_bidx",
+    )
     _C_ENT = ("entry_row", "entry_lane")
 
     def __init__(self, idxs_ds_np, shape, tile_rows=128):
@@ -581,22 +628,52 @@ class TilePlan:
                 tabs["far_sel"] = far_sel.reshape(NT, th, _S)
             else:
                 # pathological duplicate depth (e.g. one serpentine chain
-                # spanning the tile): compact one-hot selection + scatter
-                self.far_mode = "onehot"
+                # spanning the tile, dup > 64): dense group expansion, the
+                # per-tile twin of BigAccelPlan's far path. The fexp
+                # router packs the D_t distinct interval-end prefix values
+                # densely; far cells sorted by end have non-decreasing
+                # group ids spanning < 128 per 128-slot row, so a static
+                # row-pair one-hot + lane gather broadcasts each value to
+                # its duplicates; the ffar router delivers the copies to
+                # their dense preorder slots. No duplicate-count cap.
+                self.far_mode = "packed"
+                joff = np.concatenate([[0], np.cumsum(D_t)])
+                j = np.arange(uq.size) - joff[ut]
+                sig_exp = _pad_bij(ut, j, ue, NT, T)
+                tabs.update(self._stacked_fwd_tables(sig_exp, th, self.G, "fexp"))
+                # far cells re-sorted by (tile, end, slot)
+                order_s = np.lexsort((fslot, e, ft))
+                fts = ft[order_s]
+                fss = fslot[order_s]
                 foff = np.concatenate([[0], np.cumsum(cnt_far)])
                 q = np.arange(nf) - np.repeat(foff[:-1], cnt_far)
-                far_er = np.full((NT, F_pad), th, dtype=np.int16)
-                far_el = np.zeros((NT, F_pad), dtype=np.int8)
-                far_er[ft, q] = (e // _S).astype(np.int16)
-                far_el[ft, q] = (e % _S).astype(np.int8)
-                tabs["far_er"] = far_er.reshape(NT, self.F_rows, _S)
-                tabs["far_el"] = far_el.reshape(NT, self.F_rows, _S)
-                far_drow = np.full((NT, F_pad), th, dtype=np.int16)
-                far_dlane = np.zeros((NT, F_pad), dtype=np.int8)
-                far_drow[ft, q] = (fslot // _S).astype(np.int16)
-                far_dlane[ft, q] = (fslot % _S).astype(np.int8)
-                tabs["far_drow"] = far_drow.reshape(NT, self.F_rows, _S)
-                tabs["far_dlane"] = far_dlane.reshape(NT, self.F_rows, _S)
+                sig_far = _pad_bij(fts, fss, q, NT, T)
+                tabs.update(self._stacked_fwd_tables(sig_far, th, self.G, "ffar"))
+                far_sel = np.zeros(NT * T, dtype=np.int8)
+                far_sel[ft * T + fslot] = 1
+                tabs["far_sel"] = far_sel.reshape(NT, th, _S)
+                # packed group id per far slot, forward-filled so padding
+                # keeps the non-decreasing <128-span row property
+                g = j[inv][order_s]
+                g_pad = np.zeros((NT, F_pad), dtype=np.int64)
+                g_pad[fts, q] = g + 1
+                np.maximum.accumulate(g_pad, axis=1, out=g_pad)
+                g_pad = np.maximum(g_pad - 1, 0).reshape(NT, self.F_rows, _S)
+                rlo = g_pad.min(axis=2) >> 7
+                bidx = g_pad - (rlo << 7)[:, :, None]
+                if int(bidx.max(initial=0)) >= 2 * _S:
+                    raise AssertionError(
+                        "far group rows span more than a row pair"
+                    )
+                tabs["far_rlo"] = np.broadcast_to(
+                    rlo[:, :, None].astype(np.int16), g_pad.shape
+                ).copy()
+                tabs["far_rhi"] = np.broadcast_to(
+                    np.minimum(rlo + 1, th - 1)[:, :, None].astype(np.int16),
+                    g_pad.shape,
+                ).copy()
+                tabs["far_bhi"] = (bidx >= _S).astype(np.int8)
+                tabs["far_bidx"] = (bidx % _S).astype(np.int8)
 
         _ck("far tables")
         # exits: local roots in (tile, slot) order with consecutive
@@ -607,10 +684,29 @@ class TilePlan:
         self.R_rows = R_pad // _S
         roff = np.concatenate([[0], np.cumsum(cnt_r)])
         j = np.arange(m) - np.repeat(roff[:-1], cnt_r)
-        # exit router: exit slot j <- preorder end of root j (roots have
-        # distinct ends — a plain bijection, dtype-direct in pass A)
-        sig_exit = _pad_bij(rt, j, root_end.astype(np.int64), NT, T)
-        tabs.update(self._stacked_fwd_tables(sig_exit, th, self.G, "ex"))
+        # exit selection: exit slot j holds c[end_j] - c[end_{j-1}] (the
+        # j-th local-root subtree sum) via two compact (row, lane) one-hot
+        # selections; padded slots and j = 0 prev-ends point at row Y and
+        # select zero
+        ex_er = np.full((NT, R_pad), th, dtype=np.int16)
+        ex_el = np.zeros((NT, R_pad), dtype=np.int8)
+        ex_pr = np.full((NT, R_pad), th, dtype=np.int16)
+        ex_pl = np.zeros((NT, R_pad), dtype=np.int8)
+        ends64 = root_end.astype(np.int64)
+        ex_er[rt, j] = (ends64 // _S).astype(np.int16)
+        ex_el[rt, j] = (ends64 % _S).astype(np.int8)
+        prev_end = np.where(
+            j > 0, np.concatenate([[0], ends64[:-1]]), -1
+        )
+        pj = j[prev_end >= 0]
+        prt = rt[prev_end >= 0]
+        pv = prev_end[prev_end >= 0]
+        ex_pr[prt, pj] = (pv // _S).astype(np.int16)
+        ex_pl[prt, pj] = (pv % _S).astype(np.int8)
+        tabs["ex_er"] = ex_er.reshape(NT, self.R_rows, _S)
+        tabs["ex_el"] = ex_el.reshape(NT, self.R_rows, _S)
+        tabs["ex_pr"] = ex_pr.reshape(NT, self.R_rows, _S)
+        tabs["ex_pl"] = ex_pl.reshape(NT, self.R_rows, _S)
 
         _ck("exit tables")
         # ---- coarse graph over roots -----------------------------------
@@ -938,24 +1034,26 @@ class TilePlan:
             return [f"{p}_ig" for p in prefixes] if self.G > 1 else []
 
         if which == "a":
-            return list(self._A_KEYS) + igs(["rin", "ex"])
+            return list(self._A_KEYS) + igs(["rin"])
         keys = list(self._C_KEYS)
         routers = ["rin", "rout"]
         if self.far_mode == "router":
             keys += list(self._C_FAR_R)
             routers += ["fexp", "ffar"]
-        elif self.far_mode == "onehot":
-            keys += list(self._C_FAR_OH)
+        elif self.far_mode == "packed":
+            keys += list(self._C_FAR_P)
+            routers += ["fexp", "ffar"]
         if self.has_entries:
             keys += list(self._C_ENT)
         return keys + igs(routers)
 
-    def _tab_spec(self, pl, vm, name):
-        """BlockSpec selecting tile ``i``'s slice of a stacked table."""
+    def _tab_spec(self, pl, vm, name, tb=1):
+        """BlockSpec selecting block ``i``'s ``tb``-tile slab of a stacked
+        table."""
         shape = self._tabs_np[name].shape
         zeros = (0,) * (len(shape) - 1)
         return pl.BlockSpec(
-            (1,) + shape[1:], lambda i, z=zeros: (i,) + z, memory_space=vm
+            (tb,) + shape[1:], lambda i, z=zeros: (i,) + z, memory_space=vm
         )
 
     # -- execution -------------------------------------------------------
@@ -975,6 +1073,23 @@ class TilePlan:
             .reshape(self.pshape)
         )
 
+    def _block_tiles(self, keys, div, itemsize):
+        """Tiles per Pallas kernel instance: one-tile DMAs leave the HBM
+        pipeline latency-bound (~240 GB/s measured vs ~510 GB/s at 16-tile
+        blocks on v5e), so batch as many tiles as divide ``div`` under a
+        VMEM budget (~3 MB per buffer set, double-buffered by pallas)."""
+        per_tile = sum(
+            self._tabs_np[k].nbytes // self.NT for k in keys
+        ) + 2 * self.Y * _S * itemsize
+        tb = 1
+        while (
+            tb * 2 <= 16
+            and div % (tb * 2) == 0
+            and (tb * 2) * per_tile <= 3_000_000
+        ):
+            tb *= 2
+        return tb
+
     def _pass_a(self, xg, arrs, cfg):
         keys = self._keys("a")
         if not _on_tpu():
@@ -986,22 +1101,29 @@ class TilePlan:
 
         nty, ntx = self.grid
         Y = self.Y
+        TB = self._block_tiles(keys, ntx, xg.dtype.itemsize)
+        nbx = ntx // TB
 
         def kern(x_ref, *refs):
             o_ref = refs[-1]
-            tb = {k: r[0] for k, r in zip(keys, refs[:-1])}
-            o_ref[0] = _body_a(x_ref[...], tb, cfg)
+            for b in range(TB):
+                tb = {k: r[b] for k, r in zip(keys, refs[:-1])}
+                o_ref[b] = _body_a(
+                    x_ref[:, b * _S : (b + 1) * _S], tb, cfg
+                )
 
         vm = pltpu.VMEM
         in_specs = [
-            pl.BlockSpec((Y, _S), lambda k: (k // ntx, k % ntx), memory_space=vm)
-        ] + [self._tab_spec(pl, vm, k) for k in keys]
+            pl.BlockSpec(
+                (Y, TB * _S), lambda k: (k // nbx, k % nbx), memory_space=vm
+            )
+        ] + [self._tab_spec(pl, vm, k, TB) for k in keys]
         return pl.pallas_call(
             kern,
-            grid=(self.NT,),
+            grid=(self.NT // TB,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (1, self.R_rows, _S), lambda k: (k, 0, 0), memory_space=vm
+                (TB, self.R_rows, _S), lambda k: (k, 0, 0), memory_space=vm
             ),
             out_shape=jax.ShapeDtypeStruct((self.NT, self.R_rows, _S), xg.dtype),
         )(xg, *[arrs[k] for k in keys])
@@ -1018,23 +1140,32 @@ class TilePlan:
 
         nty, ntx = self.grid
         Y = self.Y
+        TB = self._block_tiles(keys, ntx, xg.dtype.itemsize)
+        nbx = ntx // TB
 
         def kern(x_ref, e_ref, *refs):
             o_ref = refs[-1]
-            tb = {k: r[0] for k, r in zip(keys, refs[:-1])}
-            o_ref[...] = _body_c(x_ref[...], e_ref[0], tb, cfg)
+            for b in range(TB):
+                tb = {k: r[b] for k, r in zip(keys, refs[:-1])}
+                o_ref[:, b * _S : (b + 1) * _S] = _body_c(
+                    x_ref[:, b * _S : (b + 1) * _S], e_ref[b], tb, cfg
+                )
 
         vm = pltpu.VMEM
         in_specs = [
-            pl.BlockSpec((Y, _S), lambda k: (k // ntx, k % ntx), memory_space=vm),
-            pl.BlockSpec((1, self.E_rows, _S), lambda k: (k, 0, 0), memory_space=vm),
-        ] + [self._tab_spec(pl, vm, k) for k in keys]
+            pl.BlockSpec(
+                (Y, TB * _S), lambda k: (k // nbx, k % nbx), memory_space=vm
+            ),
+            pl.BlockSpec(
+                (TB, self.E_rows, _S), lambda k: (k, 0, 0), memory_space=vm
+            ),
+        ] + [self._tab_spec(pl, vm, k, TB) for k in keys]
         return pl.pallas_call(
             kern,
-            grid=(self.NT,),
+            grid=(self.NT // TB,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (Y, _S), lambda k: (k // ntx, k % ntx), memory_space=vm
+                (Y, TB * _S), lambda k: (k // nbx, k % nbx), memory_space=vm
             ),
             out_shape=jax.ShapeDtypeStruct(self.pshape, xg.dtype),
         )(xg, entv, *[arrs[k] for k in keys])
@@ -1050,22 +1181,24 @@ class TilePlan:
 
         Y = self.Y
         NTl = xt.shape[0]
+        TB = self._block_tiles(keys, NTl, xt.dtype.itemsize)
 
         def kern(x_ref, *refs):
             o_ref = refs[-1]
-            tb = {k: r[0] for k, r in zip(keys, refs[:-1])}
-            o_ref[0] = _body_a(x_ref[0], tb, cfg)
+            for b in range(TB):
+                tb = {k: r[b] for k, r in zip(keys, refs[:-1])}
+                o_ref[b] = _body_a(x_ref[b], tb, cfg)
 
         vm = pltpu.VMEM
         in_specs = [
-            pl.BlockSpec((1, Y, _S), lambda k: (k, 0, 0), memory_space=vm)
-        ] + [self._tab_spec(pl, vm, k) for k in keys]
+            pl.BlockSpec((TB, Y, _S), lambda k: (k, 0, 0), memory_space=vm)
+        ] + [self._tab_spec(pl, vm, k, TB) for k in keys]
         return pl.pallas_call(
             kern,
-            grid=(NTl,),
+            grid=(NTl // TB,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (1, self.R_rows, _S), lambda k: (k, 0, 0), memory_space=vm
+                (TB, self.R_rows, _S), lambda k: (k, 0, 0), memory_space=vm
             ),
             out_shape=jax.ShapeDtypeStruct((NTl, self.R_rows, _S), xt.dtype),
         )(xt, *[arrs[k] for k in keys])
@@ -1081,22 +1214,28 @@ class TilePlan:
 
         Y = self.Y
         NTl = xt.shape[0]
+        TB = self._block_tiles(keys, NTl, xt.dtype.itemsize)
 
         def kern(x_ref, e_ref, *refs):
             o_ref = refs[-1]
-            tb = {k: r[0] for k, r in zip(keys, refs[:-1])}
-            o_ref[0] = _body_c(x_ref[0], e_ref[0], tb, cfg)
+            for b in range(TB):
+                tb = {k: r[b] for k, r in zip(keys, refs[:-1])}
+                o_ref[b] = _body_c(x_ref[b], e_ref[b], tb, cfg)
 
         vm = pltpu.VMEM
         in_specs = [
-            pl.BlockSpec((1, Y, _S), lambda k: (k, 0, 0), memory_space=vm),
-            pl.BlockSpec((1, self.E_rows, _S), lambda k: (k, 0, 0), memory_space=vm),
-        ] + [self._tab_spec(pl, vm, k) for k in keys]
+            pl.BlockSpec((TB, Y, _S), lambda k: (k, 0, 0), memory_space=vm),
+            pl.BlockSpec(
+                (TB, self.E_rows, _S), lambda k: (k, 0, 0), memory_space=vm
+            ),
+        ] + [self._tab_spec(pl, vm, k, TB) for k in keys]
         return pl.pallas_call(
             kern,
-            grid=(NTl,),
+            grid=(NTl // TB,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, Y, _S), lambda k: (k, 0, 0), memory_space=vm),
+            out_specs=pl.BlockSpec(
+                (TB, Y, _S), lambda k: (k, 0, 0), memory_space=vm
+            ),
             out_shape=jax.ShapeDtypeStruct((NTl, Y, _S), xt.dtype),
         )(xt, entv, *[arrs[k] for k in keys])
 

@@ -722,6 +722,38 @@ if _lib is not None:
         )
         return i1, is1, is2, i3, ig
 
+    _lib.flw_from_array_lut.restype = None
+    _lib.flw_from_array_lut.argtypes = [
+        _U8P, _I8P, _I8P, ctypes.c_uint8, ctypes.c_int64, ctypes.c_int64,
+        _I32P, _I64P, _I64P,
+    ]
+    _lib.flw_collect_pits.restype = None
+    _lib.flw_collect_pits.argtypes = [_I32P, ctypes.c_int64, _I32P]
+
+    def flw_from_array_lut(flwdir, drlut, dclut, mv):
+        """LUT-decode a uint8 flow-direction raster to downstream indices
+        (csrc/tile_plan_build.cpp::flw_from_array_lut); returns
+        ``(idxs_ds int32, idxs_pit int32, n_valid)``. Reference semantics
+        core_d8.py:43-67 (edge/nodata drains become pits)."""
+        flwdir = np.ascontiguousarray(flwdir, dtype=np.uint8)
+        nrow, ncol = flwdir.shape
+        idxs_ds = np.empty(nrow * ncol, np.int32)
+        drlut = np.ascontiguousarray(drlut, dtype=np.int8)
+        dclut = np.ascontiguousarray(dclut, dtype=np.int8)
+        np_ = ctypes.c_int64()
+        nv = ctypes.c_int64()
+        _lib.flw_from_array_lut(
+            flwdir.ctypes.data_as(_U8P), drlut.ctypes.data_as(_I8P),
+            dclut.ctypes.data_as(_I8P), int(mv), nrow, ncol,
+            idxs_ds.ctypes.data_as(_I32P), ctypes.byref(np_), ctypes.byref(nv),
+        )
+        pits = np.empty(np_.value, np.int32)
+        _lib.flw_collect_pits(
+            idxs_ds.ctypes.data_as(_I32P), nrow * ncol,
+            pits.ctypes.data_as(_I32P),
+        )
+        return idxs_ds, pits, int(nv.value)
+
     def tile_inv_rows(t):
         """Row-wise inverse of stacked permutation tables (..., S)."""
         t = np.ascontiguousarray(t, dtype=np.int8)
@@ -738,6 +770,7 @@ if _lib is not None:
                "adjust_elevation", "repair_profile", "dig_d4",
                "fixed_windows", "trace_walks", "ihu_relocate",
                "ihu_opt_rivlen", "ihu_min_error", "tile_plan_phase1",
-               "tile_pad_bijection", "tile_fwd_tables", "tile_inv_rows"]
+               "tile_pad_bijection", "tile_fwd_tables", "tile_inv_rows",
+               "flw_from_array_lut"]
 else:
     __all__ = []

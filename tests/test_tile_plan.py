@@ -116,11 +116,11 @@ def test_tile_plan_float32_backend_accuracy():
     assert np.allclose(out, want, rtol=1e-4, atol=32 * 1.2e-7 * scale)
 
 
-def test_tile_plan_serpentine_onehot_fallback():
+def test_tile_plan_serpentine_packed_fallback():
     """A single serpentine chain gives every cell the same interval end
     (duplicate depth ~ tile size), overflowing the far-router's b-block
-    capacity — the plan must fall back to the one-hot far path and stay
-    exact."""
+    capacity — the plan must fall back to the packed group-expansion far
+    path and stay exact."""
     H, W = 256, 128
     ser = np.zeros((H, W), np.uint8)
     for r in range(H):
@@ -129,7 +129,7 @@ def test_tile_plan_serpentine_onehot_fallback():
     ser[H - 1, W - 1 if (H - 1) % 2 == 0 else 0] = 0
     ids, pit, nv = d8c.from_array(ser)
     tp = build_tile_plan(ids, ser.shape)
-    assert tp.far_mode == "onehot"
+    assert tp.far_mode == "packed"
     out = np.asarray(tp.accumulate(jnp.ones(ids.size, jnp.int32)))
     want = np.asarray(
         accumulate_planned(build_plan(ids, fast=False), jnp.ones(ids.size, jnp.int64))

@@ -389,16 +389,15 @@ def _ptabs(tb, p):
 def _body_a(x, tb, cfg):
     """Pass A on one (Y, 128) tile: local-root subtree sums (R_rows, 128).
 
-    Exit values are read by a compact one-hot selection (exit slot j <-
-    preorder end of root j): R_pad is tiny (roots ~ tile-border cells), so
-    two small MXU matmuls beat a dedicated 5-stage router — and drop a
-    whole colored table family from the plan."""
+    Exit values route through a dedicated 5-stage router (exit slot j <-
+    preorder end of root j — roots have distinct ends, so it is a plain
+    bijection: pure VPU lane gathers, dtype-direct and ~10x cheaper per
+    sweep than exact-plane one-hot MXU selections, which need 3-pass
+    f32 matmuls)."""
     v = _local_chain(x, *_ptabs(tb, "rin"), cfg["G"])
     c = _cumsum_tile(v)
-    planes = _to_planes(c, cfg)
-    pe = _sel_gather(planes, tb["ex_er"], tb["ex_el"], cfg["Y"])
-    ps = _sel_gather(planes, tb["ex_pr"], tb["ex_pl"], cfg["Y"])
-    return _combine_planes(pe, cfg) - _combine_planes(ps, cfg)
+    ce = _local_chain(c, *_ptabs(tb, "ex"), cfg["G"])[: cfg["R_rows"]]
+    return ce - _flat_prev(ce)
 
 
 def _body_c(x, entA, tb, cfg):
@@ -471,10 +470,10 @@ class TilePlan:
         "rin_is1",
         "rin_is2",
         "rin_i3",
-        "ex_er",
-        "ex_el",
-        "ex_pr",
-        "ex_pl",
+        "ex_i1",
+        "ex_is1",
+        "ex_is2",
+        "ex_i3",
     )
     _C_KEYS = (
         "rin_i1",
@@ -684,29 +683,10 @@ class TilePlan:
         self.R_rows = R_pad // _S
         roff = np.concatenate([[0], np.cumsum(cnt_r)])
         j = np.arange(m) - np.repeat(roff[:-1], cnt_r)
-        # exit selection: exit slot j holds c[end_j] - c[end_{j-1}] (the
-        # j-th local-root subtree sum) via two compact (row, lane) one-hot
-        # selections; padded slots and j = 0 prev-ends point at row Y and
-        # select zero
-        ex_er = np.full((NT, R_pad), th, dtype=np.int16)
-        ex_el = np.zeros((NT, R_pad), dtype=np.int8)
-        ex_pr = np.full((NT, R_pad), th, dtype=np.int16)
-        ex_pl = np.zeros((NT, R_pad), dtype=np.int8)
-        ends64 = root_end.astype(np.int64)
-        ex_er[rt, j] = (ends64 // _S).astype(np.int16)
-        ex_el[rt, j] = (ends64 % _S).astype(np.int8)
-        prev_end = np.where(
-            j > 0, np.concatenate([[0], ends64[:-1]]), -1
-        )
-        pj = j[prev_end >= 0]
-        prt = rt[prev_end >= 0]
-        pv = prev_end[prev_end >= 0]
-        ex_pr[prt, pj] = (pv // _S).astype(np.int16)
-        ex_pl[prt, pj] = (pv % _S).astype(np.int8)
-        tabs["ex_er"] = ex_er.reshape(NT, self.R_rows, _S)
-        tabs["ex_el"] = ex_el.reshape(NT, self.R_rows, _S)
-        tabs["ex_pr"] = ex_pr.reshape(NT, self.R_rows, _S)
-        tabs["ex_pl"] = ex_pl.reshape(NT, self.R_rows, _S)
+        # exit router: exit slot j <- preorder end of root j (roots have
+        # distinct ends — a plain bijection, dtype-direct in pass A)
+        sig_exit = _pad_bij(rt, j, root_end.astype(np.int64), NT, T)
+        tabs.update(self._stacked_fwd_tables(sig_exit, th, self.G, "ex"))
 
         _ck("exit tables")
         # ---- coarse graph over roots -----------------------------------
@@ -1034,7 +1014,7 @@ class TilePlan:
             return [f"{p}_ig" for p in prefixes] if self.G > 1 else []
 
         if which == "a":
-            return list(self._A_KEYS) + igs(["rin"])
+            return list(self._A_KEYS) + igs(["rin", "ex"])
         keys = list(self._C_KEYS)
         routers = ["rin", "rout"]
         if self.far_mode == "router":

@@ -177,6 +177,10 @@ class _CoarseGather:
         self.n_in = int(n_in)
         self.n_out = int(n_out)
         self.in_slot = np.asarray(in_slot, np.int64)
+        # zero padding for slots past the real input (entry nodes)
+        self._in_pad = max(
+            0, int(self.in_slot.max(initial=-1)) + 1 - self.n_in
+        )
         osel = np.asarray(out_slot, np.int64) >= 0
         self.src_nodes = np.nonzero(osel)[0].astype(np.int32)
         self.dst_slots = np.asarray(out_slot, np.int64)[osel].astype(np.int32)
@@ -191,6 +195,10 @@ class _CoarseGather:
     def accumulate(self, x_flat, arrs=None):
         if arrs is None:
             arrs = self.arrays()
+        if self._in_pad:  # guaranteed-zero slots for no-input entry nodes
+            x_flat = jnp.concatenate(
+                [x_flat, jnp.zeros(self._in_pad, x_flat.dtype)]
+            )
         xn = jnp.take(x_flat, arrs["in_slot"])
         acc = accumulate_planned(self.dfs, xn)
         out = jnp.zeros(self.n_out, acc.dtype)
@@ -283,39 +291,6 @@ def _cumsum_tile(w):
     return crow + rts - rt
 
 
-# one-hot row chunk: bounds every selection/scatter temporary to
-# (_SEL_CHUNK, 128, Y) floats so the Pallas bodies stay within the TPU's
-# ~16 MiB scoped-VMEM stack even for pathological table heights
-_SEL_CHUNK = 8
-
-
-def _sel_gather(planes, er, el, Ysrc):
-    """MXU one-hot selection ``out[r, j] = p[er[r, j], el[r, j]]`` from
-    (Ysrc, 128) source planes, for (Fr, 128) tables of static positions;
-    exact per plane (pure selection, one product per output).
-
-    Layout note: one-hots are built by broadcast compares over a new
-    trailing iota dim and collapsed over *leading* dims only — Mosaic
-    rejects minor-dim-destroying reshapes like (N,) -> (N, 1). Processed
-    in static row chunks to bound scoped VMEM.
-    """
-    Fr = er.shape[0]
-    fdt = planes[0].dtype
-    chunks = [[] for _ in planes]
-    for r0 in range(0, Fr, _SEL_CHUNK):
-        e = er[r0 : r0 + _SEL_CHUNK]
-        l = el[r0 : r0 + _SEL_CHUNK]
-        fr = e.shape[0]
-        io_r = lax.broadcasted_iota(jnp.int32, (fr, _S, Ysrc), 2)
-        oh_r = (e.astype(jnp.int32)[:, :, None] == io_r).astype(fdt)
-        io_l = lax.broadcasted_iota(jnp.int32, (fr, _S, _S), 2)
-        oh_l = (l.astype(jnp.int32)[:, :, None] == io_l).astype(fdt)
-        for i, p in enumerate(planes):
-            rows = jnp.dot(oh_r.reshape(fr * _S, Ysrc), p, precision=_HIGH)
-            chunks[i].append(jnp.sum(rows.reshape(fr, _S, _S) * oh_l, axis=2))
-    return [c[0] if len(c) == 1 else jnp.concatenate(c, axis=0) for c in chunks]
-
-
 def _row_gather(planes, rtab, Y):
     """Static per-row row gather ``out[r, :] = p[rtab[r], :]`` from (Y, 128)
     source planes; ``rtab`` is an (F, 128) row-broadcast int16 table. One
@@ -325,34 +300,6 @@ def _row_gather(planes, rtab, Y):
     io = lax.broadcasted_iota(jnp.int32, (rtab.shape[0], Y), 1)
     oh = (r1 == io).astype(fdt)
     return [jnp.dot(oh, p, precision=_HIGH) for p in planes]
-
-
-def _scatter_planes(planes, drow, dlane, Y):
-    """Dense (Y, 128) scatter of compact per-plane values:
-    ``delta[y, l] = sum_e [drow[e] == y] * p[e] * [dlane[e] == l]``
-    via one-hot dot_general contractions (duplicate positions sum; padded
-    entries point at row Y and vanish). Chunked like :func:`_sel_gather`.
-    """
-    Er = drow.shape[0]
-    fdt = planes[0].dtype
-    acc = [jnp.zeros((Y, _S), fdt) for _ in planes]
-    for r0 in range(0, Er, _SEL_CHUNK):
-        dr = drow[r0 : r0 + _SEL_CHUNK]
-        dl = dlane[r0 : r0 + _SEL_CHUNK]
-        er = dr.shape[0]
-        io_y = lax.broadcasted_iota(jnp.int32, (er, _S, Y), 2)
-        oh_y = (dr.astype(jnp.int32)[:, :, None] == io_y).astype(fdt)
-        io_l = lax.broadcasted_iota(jnp.int32, (er, _S, _S), 2)
-        oh_l = (dl.astype(jnp.int32)[:, :, None] == io_l).astype(fdt)
-        for i, p in enumerate(planes):
-            pv = (oh_l * p[r0 : r0 + _SEL_CHUNK][:, :, None]).reshape(er * _S, _S)
-            acc[i] = acc[i] + lax.dot_general(
-                oh_y.reshape(er * _S, Y),
-                pv,
-                (((0,), (0,)), ((), ())),
-                precision=_HIGH,
-            )
-    return acc
 
 
 def _flat_prev(v):
@@ -366,13 +313,6 @@ def _flat_prev(v):
     else:
         v_prevrow = jnp.concatenate([zrow, v[:-1]], axis=0)
     return jnp.where(lane == 0, _taa(v_prevrow, idx_prev), _taa(v, idx_prev))
-
-
-def _entry_delta(entA, erow, elane, Y, cfg):
-    """Scatter entry values to their preorder positions as a dense (Y, 128)
-    source term (see :func:`_scatter_planes`; duplicate positions sum)."""
-    outs = _scatter_planes(_to_planes(entA, cfg), erow, elane, Y)
-    return _combine_planes(outs, cfg)
 
 
 def _ptabs(tb, p):
@@ -405,7 +345,17 @@ def _body_c(x, entA, tb, cfg):
     Y, G = cfg["Y"], cfg["G"]
     v = _local_chain(x, *_ptabs(tb, "rin"), G)
     if cfg["has_entries"]:
-        v = v + _entry_delta(entA, tb["entry_row"], tb["entry_lane"], Y, cfg)
+        # entry inflows ride a bijective router to their cells' preorder
+        # slots (unique by construction — the coarse level pre-sums
+        # duplicate inflows at per-cell entry nodes; padded router
+        # sources all carry zeros, so no mask is needed)
+        pad_rows = Y - entA.shape[0]
+        ev = entA
+        if pad_rows > 0:
+            ev = jnp.concatenate(
+                [ev, jnp.zeros((pad_rows, _S), ev.dtype)], axis=0
+            )
+        v = v + _local_chain(ev, *_ptabs(tb, "ent"), G)
     c = _cumsum_tile(v)
 
     zrow = jnp.zeros((1, _S), c.dtype)
@@ -515,7 +465,7 @@ class TilePlan:
         "far_bhi",
         "far_bidx",
     )
-    _C_ENT = ("entry_row", "entry_lane")
+    _C_ENT = ("ent_i1", "ent_is1", "ent_is2", "ent_i3")
 
     def __init__(self, idxs_ds_np, shape, tile_rows=128):
         import os
@@ -689,43 +639,57 @@ class TilePlan:
         tabs.update(self._stacked_fwd_tables(sig_exit, th, self.G, "ex"))
 
         _ck("exit tables")
-        # ---- coarse graph over roots -----------------------------------
-        in_slot = rt * R_pad + j
+        # ---- coarse graph over roots + entry nodes ---------------------
+        # one extra coarse node per *distinct* entry cell: live roots
+        # drain into their cell's entry node, whose subtree sum is the
+        # total flow entering that cell. Duplicate inflows (several tiles'
+        # roots draining to one cell) are therefore pre-summed by the
+        # coarse solve itself, which keeps every entry slot unique — so
+        # pass C can deliver entries through a cheap bijective router
+        # instead of one-hot MXU scatters. Entry nodes have no input of
+        # their own: they read the guaranteed-zero slot at n_exit_flat.
+        self.n_exit_flat = NT * R_pad
         is_pit = ids_p[root_cell] == root_cell
         ecell = np.where(is_pit, root_cell, ids_p[root_cell])
         e_on = slot[ecell] >= 0
-        coarse_ds = np.full(m, -1, dtype=np.int64)
-        coarse_ds[is_pit] = np.nonzero(is_pit)[0]
         live = (~is_pit) & e_on
-        coarse_ds[live] = root_node[ecell[live]]
+        uq_cell = np.unique(ecell[live])
+        D = uq_cell.size
+        einv = np.searchsorted(uq_cell, ecell[live])
+        coarse_ds = np.full(m + D, -1, dtype=np.int64)
+        coarse_ds[np.nonzero(is_pit)[0]] = np.nonzero(is_pit)[0]
+        coarse_ds[np.nonzero(live)[0]] = m + einv
+        coarse_ds[m:] = root_node[uq_cell]
+        # entry nodes read distinct guaranteed-zero slots past the real
+        # exits (the input routing is a bijection — slots must be unique;
+        # both coarse backends zero-pad the input out to these slots)
+        in_slot = np.concatenate(
+            [rt * R_pad + j, self.n_exit_flat + np.arange(D, dtype=np.int64)]
+        )
 
-        # entries: one per live root, grouped by destination tile
-        ent_nodes = np.nonzero(live)[0]
-        t2 = self._tile_of(ecell[ent_nodes])
-        order_e = np.lexsort((ent_nodes, t2))
-        ent_nodes = ent_nodes[order_e]
-        t2 = t2[order_e]
-        cnt_e = np.bincount(t2, minlength=NT).astype(np.int64)
-        self.has_entries = ent_nodes.size > 0
+        # entry nodes grouped by destination tile, ordered by entry slot
+        t2 = self._tile_of(uq_cell)
+        es = slot[uq_cell].astype(np.int64)
+        od = np.lexsort((es, t2))
+        t2o, eso = t2[od], es[od]
+        cnt_e = np.bincount(t2o, minlength=NT).astype(np.int64)
+        self.has_entries = D > 0
         E_pad = _r128(cnt_e.max()) if self.has_entries else 0
         self.E_pad = E_pad
-        out_slot = np.full(m, -1, dtype=np.int64)
+        out_slot = np.full(m + D, -1, dtype=np.int64)
         self.E_rows = 1
         if self.has_entries:
             eoff = np.concatenate([[0], np.cumsum(cnt_e)])
-            j2 = np.arange(ent_nodes.size) - np.repeat(eoff[:-1], cnt_e)
-            out_slot[ent_nodes] = t2 * E_pad + j2
-            es = slot[ecell[ent_nodes]].astype(np.int64)
-            entry_row = np.full((NT, E_pad), th, dtype=np.int16)
-            entry_lane = np.zeros((NT, E_pad), dtype=np.int8)
-            entry_row[t2, j2] = (es // _S).astype(np.int16)
-            entry_lane[t2, j2] = (es % _S).astype(np.int8)
+            j2 = np.arange(D) - np.repeat(eoff[:-1], cnt_e)
+            out_slot[m + od] = t2o * E_pad + j2
             self.E_rows = E_pad // _S
-            tabs["entry_row"] = entry_row.reshape(NT, self.E_rows, _S)
-            tabs["entry_lane"] = entry_lane.reshape(NT, self.E_rows, _S)
+            # ent router: preorder slot of entry cell <- packed entry slot
+            # (slots are unique per cell — a plain bijection; all padded
+            # sources carry zeros, so no mask is needed after routing)
+            sig_ent = _pad_bij(t2o, eso, j2, NT, T)
+            tabs.update(self._stacked_fwd_tables(sig_ent, th, self.G, "ent"))
 
         _ck("coarse graph")
-        self.n_exit_flat = NT * R_pad
         dfs_c = build_plan(coarse_ds, fast=False)
         if max(self.n_exit_flat, NT * max(E_pad, 1)) >= _COARSE_ROUTER_MIN:
             self.coarse = BigAccelPlan(
@@ -1025,6 +989,7 @@ class TilePlan:
             routers += ["fexp", "ffar"]
         if self.has_entries:
             keys += list(self._C_ENT)
+            routers += ["ent"]
         return keys + igs(routers)
 
     def _tab_spec(self, pl, vm, name, tb=1):

@@ -64,8 +64,10 @@ def from_array(flwdir, _mv=_mv, dtype=np.int32):
         except ImportError:
             pass
     # 2-D int32 broadcast arithmetic: no int64 div/mod passes over the
-    # grid (the row/col of a cell are its array coordinates)
-    it = np.int64 if n > np.iinfo(np.int32).max else np.int32
+    # grid (the row/col of a cell are its array coordinates). Widen when
+    # even an out-of-grid lane (r_ds == nrow) could overflow before the
+    # np.where masks it: n + ncol must stay below int32 max.
+    it = np.int64 if n + ncol > np.iinfo(np.int32).max else np.int32
     valid = flwdir != _mv
     dr = _DR_LUT[flwdir]
     dc = _DC_LUT[flwdir]

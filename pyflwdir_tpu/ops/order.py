@@ -15,12 +15,13 @@ The reference computes both orders with sequential sweeps over ``seq``
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
 from .graph import path_sum, reach, self_loop, upstream_count
 
-__all__ = ["strahler_order", "classic_order"]
+__all__ = ["strahler_order", "strahler_tile_plan", "classic_order"]
 
 
 def strahler_order(
@@ -69,6 +70,71 @@ def strahler_order(
 
     _, sto, _ = lax.while_loop(cond, body, (0, sto0, jnp.asarray(True)))
     return jnp.clip(sto, 0, 255).astype(jnp.uint8)
+
+
+def strahler_tile_plan(codes, tp, arrs=None, mask=None, max_order=32):
+    """Strahler order at HBM scale on one chip via the tile plan.
+
+    Log-depth level formulation (the single-device twin of
+    ``parallel.tiled.tiled_strahler``): ``order(c) >= s`` iff c's subtree
+    contains a cell with two upstream branches of order ``>= s-1``; that
+    set is the downstream closure of the level's confluence generators —
+    one D8 child-count stencil (XLA elementwise, fused) plus one tile-plan
+    accumulation per order level. Levels <= log2(#headwaters) (~12 on
+    real networks), so the whole map costs ~a dozen accumulate sweeps.
+    Matches reference ``streams.strahler_order`` (streams.py:229-269)
+    incl. its mask semantics (cells outside ``mask`` are 0, invisible).
+
+    Parameters: ``codes`` (H, W) uint8 D8 raster **already cut to the
+    mask** when one applies (build ``tp`` on the same cut graph);
+    ``tp`` a :class:`pyflwdir_tpu.ops.tile_plan.TilePlan` for it.
+    """
+    import numpy as np
+
+    from ..codecs import d8 as d8c
+
+    codes = np.asarray(codes)
+    nrow, ncol = codes.shape
+    dr_np = d8c._DR_LUT[codes]
+    dc_np = d8c._DC_LUT[codes]
+    valid = (dr_np != 0) | (dc_np != 0) | np.isin(codes, d8c._pv)
+    if mask is not None:
+        valid = valid & np.asarray(mask, bool)
+    dr = jnp.asarray(dr_np)
+    dc = jnp.asarray(dc_np)
+    member = jnp.asarray(valid)
+    order = member.astype(jnp.uint8)
+    if arrs is None:
+        arrs = tp.arrays()
+
+    @jax.jit
+    def level(member, arrs):
+        cnt = jnp.zeros((nrow, ncol), jnp.int32)
+        for sr in (-1, 0, 1):
+            for sc in (-1, 0, 1):
+                if sr == 0 and sc == 0:
+                    continue
+                src = (member & (dr == sr) & (dc == sc)).astype(jnp.int32)
+                shifted = jnp.roll(src, (sr, sc), axis=(0, 1))
+                # cells rolled around the grid edge cannot drain there
+                if sr != 0:
+                    edge = 0 if sr > 0 else nrow - 1
+                    shifted = shifted.at[edge, :].set(0)
+                if sc != 0:
+                    edge = 0 if sc > 0 else ncol - 1
+                    shifted = shifted.at[:, edge].set(0)
+                cnt = cnt + shifted
+        gen = ((cnt >= 2) & member).astype(jnp.int32)
+        accu = tp.accumulate(gen.reshape(-1), arrs).reshape(nrow, ncol)
+        new_member = (accu >= 1) & member
+        return new_member, jnp.any(gen)
+
+    for _ in range(1, max_order):
+        member, any_gen = level(member, arrs)
+        if not bool(any_gen):
+            break
+        order = order + member.astype(jnp.uint8)
+    return order
 
 
 def classic_order(

@@ -418,6 +418,44 @@ class FlwdirRaster(Flwdir):
             return tp.accumulate(data)
         return super()._accumulate_dev(data)
 
+    def stream_order(self, type="strahler", mask=None):
+        """Strahler / classic stream order map.
+
+        Above the tile-plan threshold the Strahler map runs on-chip
+        through the cached hierarchical tile plan (one child-count
+        stencil + one accumulation per order level,
+        ops/order.py:strahler_tile_plan) instead of the sequential host
+        sweep. Parity: reference flwdir.py:508-547.
+        """
+        if (
+            str(type).lower() == "strahler"
+            and mask is None
+            and self.ftype in ("d8",)
+            and self.size > self._TILE_PLAN_MIN
+        ):
+            if "strord" in self._cached:
+                return self._cached["strord"].reshape(self.shape)
+            from .ops.tile_plan import build_tile_plan
+
+            if "tile_plan" not in self._cached:
+                try:
+                    self._cached["tile_plan"] = build_tile_plan(
+                        self._idxs_ds, self.shape
+                    )
+                except Exception:
+                    self._cached["tile_plan"] = None
+            tp = self._cached["tile_plan"]
+            if tp is not None:
+                from .codecs import d8 as d8c
+                from .ops.order import strahler_tile_plan
+
+                codes = d8c.to_array(self._idxs_ds, self.shape)
+                strord = np.asarray(strahler_tile_plan(codes, tp))
+                if self.cache:
+                    self._cached["strord"] = strord.ravel()
+                return strord.reshape(self.shape)
+        return super().stream_order(type=type, mask=mask)
+
     def upstream_area(self, unit="cell"):
         """Upstream area map. Parity: pyflwdir.py:770-801."""
         unit = str(unit).lower()

@@ -198,3 +198,20 @@ def _pad_ids(ids, shape, tp):
     tgt[v0] = (ids0[v0] // W) * Wp + ids0[v0] % W
     ids_p[new_of] = tgt
     return ids_p
+
+
+def test_strahler_tile_plan_matches_host():
+    """The log-depth tile-plan Strahler (one child-count stencil + one
+    accumulation per level) equals the native host preorder sweep."""
+    from pyflwdir_tpu.ops.order import strahler_tile_plan
+    from pyflwdir_tpu.ops.plan import build_plan
+    from pyflwdir_tpu.runtime import strahler_order as host_strahler
+
+    d8 = _grid((300, 260), seed=12)
+    ids, _, _ = d8c.from_array(d8)
+    tp = build_tile_plan(ids, d8.shape)
+    got = np.asarray(strahler_tile_plan(d8, tp))
+    want = host_strahler(
+        ids.astype(np.int64), build_plan(ids, fast=False).preorder_np
+    ).reshape(d8.shape)
+    assert np.array_equal(got, want.astype(np.uint8))

@@ -408,6 +408,107 @@ def _body_c(x, entA, tb, cfg):
     return jnp.where(_mask(tb["tree_mask"]), out, x)
 
 
+def _flat_next(v):
+    """``next[j] = v[j+1]`` over the flat row-major view of (R, 128),
+    with next[last] = 0."""
+    lane = lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    idx_next = jnp.mod(lane + 1, _S)
+    zrow = jnp.zeros((1, v.shape[1]), v.dtype)
+    if v.shape[0] == 1:  # Mosaic rejects (0, 128) slices
+        v_nextrow = zrow
+    else:
+        v_nextrow = jnp.concatenate([v[1:], zrow], axis=0)
+    return jnp.where(
+        lane == _S - 1, _taa(v_nextrow, idx_next), _taa(v, idx_next)
+    )
+
+
+def _shift_left(v, s, axis):
+    pad = jnp.zeros_like(lax.slice_in_dim(v, 0, s, axis=axis))
+    body = lax.slice_in_dim(v, s, v.shape[axis], axis=axis)
+    return jnp.concatenate([body, pad], axis=axis)
+
+
+def _suffix_axis(v, axis):
+    """Inclusive Hillis-Steele suffix sum (mirror of :func:`_cumsum_axis`)."""
+    n, s = v.shape[axis], 1
+    while s < n:
+        v = v + _shift_left(v, s, axis)
+        s *= 2
+    return v
+
+
+def _suffix_tile(w):
+    """Flat (row-major) inclusive *suffix* sum of a (Y, 128) VMEM value
+    (mirror of :func:`_cumsum_tile`; exact for integers)."""
+    crow = _suffix_axis(w, 1)
+    idx_first = jnp.zeros(crow.shape, jnp.int32)
+    rt = _taa(crow, idx_first)  # row totals, broadcast to all lanes
+    rts = _suffix_axis(rt, 0)   # inclusive suffix over rows
+    return crow + rts - rt
+
+
+def _body_down(x, tb, cfg):
+    """Downward pass D1 on one (Y, 128) tile: the *transpose* of the
+    subtree-sum operator, i.e. the inclusive ancestor (downstream-path)
+    sum ``a[i] = sum of w over the path i -> local root``.
+
+    Identity: with S = R_out (E_end - E_start) L R_in (the accumulate
+    pipeline: route to preorder, prefix-sum, interval-difference, route
+    back), the transpose is S^T = R_in^-1 L^T (E_end^T - E_start^T)
+    R_out^-1 — the same routers run in the same direction with
+    *transposed* selection stages: E_end^T is a per-interval-end group
+    sum (cells sorted by end via the ``es`` router, one prefix sum, and
+    two bijective deliveries of adjacent group-boundary prefix values),
+    E_start^T is a flat shift, and L^T is a suffix sum. Everything stays
+    pure VPU lane-gather/cumsum work — no MXU, exact for integers.
+
+    Returns ``(a_local raster-layout, packed entry-cell values)``; the
+    coarse continuation is injected by :func:`_body_down_lite`.
+    """
+    Y, G = cfg["Y"], cfg["G"]
+    zero = jnp.zeros((), x.dtype)
+    w0 = jnp.where(_mask(tb["tree_mask"]), x, zero)
+    u = _local_chain(w0, *_ptabs(tb, "rin"), G)  # preorder layout
+    ues = _local_chain(w0, *_ptabs(tb, "es"), G)  # (end, slot)-sorted
+    cs = _cumsum_tile(ues)
+    gA = _local_chain(cs, *_ptabs(tb, "dea"), G)  # group-last prefix
+    gB = _local_chain(cs, *_ptabs(tb, "deb"), G)  # prev-group-last prefix
+    ge = jnp.where(
+        _mask(tb["de_sel"]),
+        gA - jnp.where(_mask(tb["de_b0"]), zero, gB),
+        zero,
+    )
+    inner = ge - _flat_next(u)
+    z = _suffix_tile(inner)
+    out = _local_chain(z, *_ptabs(tb, "rout"), G)
+    out = jnp.where(_mask(tb["tree_mask"]), out, x)
+    if cfg["has_entries"]:
+        pk = _local_chain(z, *_ptabs(tb, "enti"), G)[: cfg["E_rows"]]
+    else:
+        pk = jnp.zeros((cfg["E_rows"], _S), x.dtype)
+    return out, pk
+
+
+def _body_down_lite(abar, xd, tb, cfg):
+    """Downward pass D2 on one tile: add each tree's coarse continuation
+    ``A[root]`` to all its members. ``xd`` carries the per-root values
+    diff-encoded over consecutive exit slots (X_j = A_j - A_{j+1}), so a
+    single delivery to the interval *ends* (the inverse exit router) and
+    one suffix sum broadcast exactly A_j over tree j."""
+    Y, G = cfg["Y"], cfg["G"]
+    zero = jnp.zeros((), abar.dtype)
+    pad_rows = Y - xd.shape[0]
+    ev = xd
+    if pad_rows > 0:
+        ev = jnp.concatenate([ev, jnp.zeros((pad_rows, _S), ev.dtype)], axis=0)
+    de = _local_chain(ev, *_ptabs(tb, "exi"), G)
+    inner = jnp.where(_mask(tb["re_sel"]), de, zero)
+    z = _suffix_tile(inner)
+    add = _local_chain(z, *_ptabs(tb, "rout"), G)
+    return jnp.where(_mask(tb["tree_mask"]), abar + add, abar)
+
+
 # ---------------------------------------------------------------------------
 # the plan
 # ---------------------------------------------------------------------------
@@ -536,6 +637,10 @@ class TilePlan:
         _ck("phase 1 (per-tile DFS + local tables)")
         self._build_routers(ph["sig"])
         _ck("routers")
+        # stashes for the lazily-built downward (transpose) plan
+        self._sig_np = ph["sig"]
+        self._far_np = (cnt_far, far_slot, far_end)
+        self._down = None
 
         # far cells (interval end >= 128 positions ahead); phase-1 lists
         # them per tile in preorder-slot order
@@ -637,6 +742,8 @@ class TilePlan:
         # distinct ends — a plain bijection, dtype-direct in pass A)
         sig_exit = _pad_bij(rt, j, root_end.astype(np.int64), NT, T)
         tabs.update(self._stacked_fwd_tables(sig_exit, th, self.G, "ex"))
+        self._root_np = (cnt_r, root_end)
+        self.R_pad = R_pad
 
         _ck("exit tables")
         # ---- coarse graph over roots + entry nodes ---------------------
@@ -690,7 +797,10 @@ class TilePlan:
             tabs.update(self._stacked_fwd_tables(sig_ent, th, self.G, "ent"))
 
         _ck("coarse graph")
+        self._coarse_meta = {"in_slot": in_slot, "out_slot": out_slot,
+                             "m": int(m), "D": int(D)}
         dfs_c = build_plan(coarse_ds, fast=False)
+        self._coarse_dfs = dfs_c
         if max(self.n_exit_flat, NT * max(E_pad, 1)) >= _COARSE_ROUTER_MIN:
             self.coarse = BigAccelPlan(
                 dfs_c, coarse_ds, in_slot=in_slot, out_slot=out_slot
@@ -970,6 +1080,7 @@ class TilePlan:
             "far_mode": self.far_mode,
             "b": self.b,
             "R_rows": self.R_rows,
+            "E_rows": self.E_rows,
             "has_entries": self.has_entries,
         }
 
@@ -1288,6 +1399,335 @@ class TilePlan:
         entv = entv.reshape(self.NT, self.E_rows, _S)
 
         out = self._pass_c(xg, entv, arrs, cfg)
+        if (Hp, Wp) != (H, W):
+            out = out[:H, :W]
+        return out.reshape(-1).astype(dtype)
+
+
+    # ------------------------------------------------------------------
+    # downward (transpose) plan: inclusive downstream-path sums
+    # ------------------------------------------------------------------
+    def _ensure_down(self):
+        """Lazily build the downward-plan tables (see :func:`_body_down`):
+        the ``es`` (end, slot)-sort router, the two group-boundary
+        delivery routers, their masks, the inverses of the exit/entry
+        routers, and the static coarse-downward index arrays."""
+        if self._down is not None:
+            return
+        NT, th = self.NT, self.Y
+        T = th * _S
+        tabs = self._tabs_np
+
+        # per-slot interval ends from the near tables + far lists
+        s = np.arange(T, dtype=np.int64)
+        lane = s % _S
+        ns = tabs["near_sel"].reshape(NT, T).astype(bool)
+        idxn = tabs["idx_near"].reshape(NT, T).astype(np.int64)
+        seln = tabs["sel_next"].reshape(NT, T).astype(np.int64)
+        ends = np.full((NT, T), -1, dtype=np.int64)
+        d_near = idxn + _S * seln - lane[None, :]
+        ends[ns] = (s[None, :] + d_near)[ns]
+        cnt_far, far_slot, far_end = self._far_np
+        if far_slot.size:
+            ft = np.repeat(np.arange(NT, dtype=np.int64), cnt_far)
+            ends[ft, far_slot.astype(np.int64)] = far_end.astype(np.int64)
+        on = ends >= 0
+
+        # stable (tile, end, slot) order; off slots at each tile's tail
+        ekey = np.where(on, ends, T)
+        tile_col = np.arange(NT, dtype=np.int64)[:, None]
+        key = (tile_col * (T + 1) + ekey) * T + s[None, :]
+        order = np.argsort(key.ravel(), kind="stable")
+        ot = order // T
+        oslot = order % T
+        sig_es = self._sig_np[ot, oslot].reshape(NT, T)
+
+        # group boundaries among on slots (per tile, per distinct end)
+        ek_sorted = ekey[ot, oslot]
+        on_sorted = ek_sorted < T
+        q = np.arange(NT * T) % T
+        prev_diff = np.empty(NT * T, dtype=bool)
+        prev_diff[0] = True
+        prev_diff[1:] = (ek_sorted[1:] != ek_sorted[:-1]) | (q[1:] == 0)
+        nxt_diff = np.empty(NT * T, dtype=bool)
+        nxt_diff[-1] = True
+        nxt_diff[:-1] = prev_diff[1:] | (~on_sorted[1:])
+        gstart = np.nonzero(on_sorted & prev_diff)[0]
+        glast = np.nonzero(on_sorted & nxt_diff)[0]
+        gtile = gstart // T
+        gend = ek_sorted[gstart]
+        src_a = glast % T
+        src_b = gstart % T - 1
+        b0 = src_b < 0
+
+        dtabs = {}
+        dtabs.update(self._stacked_fwd_tables(sig_es, th, self.G, "es"))
+        sig_dea = _pad_bij(gtile, gend, src_a, NT, T)
+        dtabs.update(self._stacked_fwd_tables(sig_dea, th, self.G, "dea"))
+        sig_deb = _pad_bij(gtile[~b0], gend[~b0], src_b[~b0], NT, T)
+        dtabs.update(self._stacked_fwd_tables(sig_deb, th, self.G, "deb"))
+        de_sel = np.zeros(NT * T, dtype=np.int8)
+        de_sel[gtile * T + gend] = 1
+        de_b0 = np.zeros(NT * T, dtype=np.int8)
+        de_b0[gtile[b0] * T + gend[b0]] = 1
+        dtabs["de_sel"] = de_sel.reshape(NT, th, _S)
+        dtabs["de_b0"] = de_b0.reshape(NT, th, _S)
+        cnt_r, root_end = self._root_np
+        rt = np.repeat(np.arange(NT, dtype=np.int64), cnt_r)
+        re_sel = np.zeros(NT * T, dtype=np.int8)
+        re_sel[rt * T + root_end.astype(np.int64)] = 1
+        dtabs["re_sel"] = re_sel.reshape(NT, th, _S)
+
+        # inverse exit/entry routers (palindromic schedule: per-row
+        # inversion of the forward tables, no extra coloring)
+        fams = [("ex", "exi")]
+        if self.has_entries:
+            fams.append(("ent", "enti"))
+        for fwd, inv in fams:
+            dtabs[f"{inv}_i1"] = _inv_rows(tabs[f"{fwd}_i3"])
+            dtabs[f"{inv}_is1"] = _inv_rows(tabs[f"{fwd}_is2"])
+            dtabs[f"{inv}_is2"] = _inv_rows(tabs[f"{fwd}_is1"])
+            dtabs[f"{inv}_i3"] = _inv_rows(tabs[f"{fwd}_i1"])
+            if self.G > 1:
+                dtabs[f"{inv}_ig"] = _inv_rows(tabs[f"{fwd}_ig"])
+
+        # static coarse-downward arrays (XLA 1-D scatter/cumsum solve)
+        dfs = self._coarse_dfs
+        k = int(dfs.n_tree)
+        meta = self._coarse_meta
+        pre = dfs.preorder_np.astype(np.int64)
+        ends_pre = (
+            np.arange(k, dtype=np.int64) + dfs.size_np[pre] - 1
+        ).astype(np.int32)
+        e2n = np.full(self.n_exit_flat, -1, dtype=np.int32)
+        e2n[meta["in_slot"][: meta["m"]]] = np.arange(
+            meta["m"], dtype=np.int32
+        )
+        self._down = {
+            "tabs": dtabs,
+            "cd": {
+                "pre": pre.astype(np.int32),
+                "pos": dfs.pos_np.astype(np.int32),
+                "ends_pre": ends_pre,
+                "e2n": e2n,
+                "wmap": meta["out_slot"].astype(np.int32),
+            },
+            "k": k,
+        }
+        self._down_dev = None
+
+    def _down_keys(self, which):
+        def igs(prefixes):
+            return [f"{p}_ig" for p in prefixes] if self.G > 1 else []
+
+        if which == "d1":
+            fams = ["rin", "es", "dea", "deb", "rout"]
+            keys = [f"{p}_{t}" for p in fams for t in ("i1", "is1", "is2", "i3")]
+            keys += ["de_sel", "de_b0", "tree_mask"]
+            if self.has_entries:
+                keys += ["enti_i1", "enti_is1", "enti_is2", "enti_i3"]
+                fams += ["enti"]
+            return keys + igs(fams)
+        fams = ["exi", "rout"]
+        keys = [f"{p}_{t}" for p in fams for t in ("i1", "is1", "is2", "i3")]
+        keys += ["re_sel", "tree_mask"]
+        return keys + igs(fams)
+
+    def down_arrays(self):
+        """Device pytree for :meth:`accumulate_down` (jit argument)."""
+        self._ensure_down()
+        if self._down_dev is None:
+            src = dict(self._tabs_np)
+            src.update(self._down["tabs"])
+            need = sorted(set(self._down_keys("d1") + self._down_keys("d2")))
+            dev = {k: jnp.asarray(src[k]) for k in need}
+            dev["cd"] = {
+                k: jnp.asarray(v) for k, v in self._down["cd"].items()
+            }
+            if any(
+                isinstance(x, jax.core.Tracer)
+                for x in jax.tree_util.tree_leaves(dev)
+            ):
+                return dev
+            self._down_dev = dev
+        return self._down_dev
+
+    def _down_tab_np(self, name):
+        return self._down["tabs"].get(name, self._tabs_np.get(name))
+
+    def _down_tab_spec(self, pl, vm, name, tb):
+        shape = self._down_tab_np(name).shape
+        zeros = (0,) * (len(shape) - 1)
+        return pl.BlockSpec(
+            (tb,) + shape[1:], lambda i, z=zeros: (i,) + z, memory_space=vm
+        )
+
+    def _down_block_tiles(self, keys, div, itemsize):
+        per_tile = sum(
+            self._down_tab_np(k).nbytes // self.NT for k in keys
+        ) + 2 * self.Y * _S * itemsize
+        tb = 1
+        while (
+            tb * 2 <= 16
+            and div % (tb * 2) == 0
+            and (tb * 2) * per_tile <= 3_000_000
+        ):
+            tb *= 2
+        return tb
+
+    def _pass_down(self, xg, arrs, cfg):
+        keys = self._down_keys("d1")
+        if not _on_tpu():
+            xt = self._tiles_cpu(xg)
+            body = lambda x, *tt: _body_down(x, dict(zip(keys, tt)), cfg)
+            out, pk = jax.vmap(body)(xt, *[arrs[k] for k in keys])
+            return self._untile_cpu(out), pk
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        nty, ntx = self.grid
+        Y = self.Y
+        TB = self._down_block_tiles(keys, ntx, xg.dtype.itemsize)
+        nbx = ntx // TB
+
+        def kern(x_ref, *refs):
+            o_ref, p_ref = refs[-2], refs[-1]
+            for b in range(TB):
+                tb = {k: r[b] for k, r in zip(keys, refs[:-2])}
+                r, p = _body_down(x_ref[:, b * _S : (b + 1) * _S], tb, cfg)
+                o_ref[:, b * _S : (b + 1) * _S] = r
+                p_ref[b] = p
+
+        vm = pltpu.VMEM
+        in_specs = [
+            pl.BlockSpec(
+                (Y, TB * _S), lambda k: (k // nbx, k % nbx), memory_space=vm
+            )
+        ] + [self._down_tab_spec(pl, vm, k, TB) for k in keys]
+        return pl.pallas_call(
+            kern,
+            grid=(self.NT // TB,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec(
+                    (Y, TB * _S),
+                    lambda k: (k // nbx, k % nbx),
+                    memory_space=vm,
+                ),
+                pl.BlockSpec(
+                    (TB, self.E_rows, _S), lambda k: (k, 0, 0), memory_space=vm
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(self.pshape, xg.dtype),
+                jax.ShapeDtypeStruct((self.NT, self.E_rows, _S), xg.dtype),
+            ],
+        )(xg, *[arrs[k] for k in keys])
+
+    def _pass_down_lite(self, abar, xd, arrs, cfg):
+        keys = self._down_keys("d2")
+        if not _on_tpu():
+            at = self._tiles_cpu(abar)
+            body = lambda a, x, *tt: _body_down_lite(
+                a, x, dict(zip(keys, tt)), cfg
+            )
+            out = jax.vmap(body)(at, xd, *[arrs[k] for k in keys])
+            return self._untile_cpu(out)
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        nty, ntx = self.grid
+        Y = self.Y
+        TB = self._down_block_tiles(keys, ntx, abar.dtype.itemsize)
+        nbx = ntx // TB
+
+        def kern(a_ref, x_ref, *refs):
+            o_ref = refs[-1]
+            for b in range(TB):
+                tb = {k: r[b] for k, r in zip(keys, refs[:-1])}
+                o_ref[:, b * _S : (b + 1) * _S] = _body_down_lite(
+                    a_ref[:, b * _S : (b + 1) * _S], x_ref[b], tb, cfg
+                )
+
+        vm = pltpu.VMEM
+        gmap = lambda k: (k // nbx, k % nbx)
+        in_specs = [
+            pl.BlockSpec((Y, TB * _S), gmap, memory_space=vm),
+            pl.BlockSpec(
+                (TB, self.R_rows, _S), lambda k: (k, 0, 0), memory_space=vm
+            ),
+        ] + [self._down_tab_spec(pl, vm, k, TB) for k in keys]
+        return pl.pallas_call(
+            kern,
+            grid=(self.NT // TB,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((Y, TB * _S), gmap, memory_space=vm),
+            out_shape=jax.ShapeDtypeStruct(self.pshape, abar.dtype),
+        )(abar, xd, *[arrs[k] for k in keys])
+
+    @staticmethod
+    def _coarse_down_apply(cd, W, k):
+        """Downward anc-sum on the coarse forest (XLA 1-D delta solve):
+        A[node] = sum of W over the node's coarse downstream path."""
+        Wp = jnp.take(W, cd["pre"])
+        inner = jnp.zeros(k, W.dtype).at[cd["ends_pre"]].add(Wp)
+        inner = inner - jnp.concatenate([Wp[1:], jnp.zeros(1, W.dtype)])
+        c = jnp.cumsum(inner)
+        z = c[k - 1] - c + inner
+        pos = cd["pos"]
+        return jnp.where(
+            pos >= 0, jnp.take(z, jnp.clip(pos, 0, k - 1)), jnp.zeros((), W.dtype)
+        )
+
+    def accumulate_down(self, data, darrs=None):
+        """Inclusive downstream-path sum ``a[i] = sum of data[j] over the
+        path i -> pit (j = i, ds(i), ..., pit)`` — the exact transpose of
+        :meth:`accumulate`, at the same two-streaming-pass cost.
+
+        This one primitive yields, by choice of ``data`` (and graph
+        cutting): stream distance (edge lengths, pits 0), basin labels /
+        root broadcast (value at roots, 0 elsewhere), height of the
+        nearest downstream drain (cut at drains, z at the cut roots), and
+        downstream fillnodata. Off-tree cells pass through. Integer
+        inputs are exact.
+        """
+        self._ensure_down()
+        if darrs is None:
+            darrs = self.down_arrays()
+        H, W = self.shape
+        Hp, Wp = self.pshape
+        dtype = data.dtype
+        cfg = self._acc_cfg(dtype)
+        xg = jnp.asarray(data).reshape(H, W).astype(cfg["acc"])
+        if (Hp, Wp) != (H, W):
+            xg = jnp.pad(xg, ((0, Hp - H), (0, Wp - W)))
+
+        abar, pk = self._pass_down(xg, darrs, cfg)
+        k = self._down["k"]
+        if self.has_entries and k > 0:
+            cd = darrs["cd"]
+            pkf = pk.reshape(-1)
+            wmap = cd["wmap"]
+            Wn = jnp.where(
+                wmap >= 0,
+                jnp.take(pkf, jnp.clip(wmap, 0, pkf.shape[0] - 1)),
+                jnp.zeros((), pkf.dtype),
+            )
+            A = self._coarse_down_apply(cd, Wn, k)
+            e2n = cd["e2n"]
+            Aslot = jnp.where(
+                e2n >= 0,
+                jnp.take(A, jnp.clip(e2n, 0, A.shape[0] - 1)),
+                jnp.zeros((), A.dtype),
+            )
+            A3 = Aslot.reshape(self.NT, self.R_pad)
+            nxt = jnp.concatenate(
+                [A3[:, 1:], jnp.zeros((self.NT, 1), A3.dtype)], axis=1
+            )
+            xd = (A3 - nxt).reshape(self.NT, self.R_rows, _S)
+            out = self._pass_down_lite(abar, xd, darrs, cfg)
+        else:
+            out = abar
         if (Hp, Wp) != (H, W):
             out = out[:H, :W]
         return out.reshape(-1).astype(dtype)

@@ -215,3 +215,61 @@ def test_strahler_tile_plan_matches_host():
         ids.astype(np.int64), build_plan(ids, fast=False).preorder_np
     ).reshape(d8.shape)
     assert np.array_equal(got, want.astype(np.uint8))
+
+
+def test_accumulate_down_transpose_identity():
+    """accumulate_down is the exact transpose of accumulate:
+    <S x, y> == <x, S^T y> for random integer vectors, and the inclusive
+    downstream-path sum a[i] = sum of w along i -> pit."""
+    d8 = _grid((300, 260), seed=21)
+    ids, pit, nv = d8c.from_array(d8)
+    tp = build_tile_plan(ids, d8.shape)
+    n = ids.size
+    rng = np.random.RandomState(5)
+    x = rng.randint(0, 9, n).astype(np.int64)
+    y = rng.randint(0, 9, n).astype(np.int64)
+    valid = ids >= 0
+    x[~valid] = 0
+    y[~valid] = 0
+    Sx = np.asarray(tp.accumulate(jnp.asarray(x))).astype(np.int64)
+    STy = np.asarray(tp.accumulate_down(jnp.asarray(y))).astype(np.int64)
+    assert np.dot(Sx[valid], y[valid]) == np.dot(x[valid], STy[valid])
+
+    # oracle: follow each cell's chain to the pit
+    w = rng.randint(0, 9, n).astype(np.int64)
+    w[~valid] = 0
+    got = np.asarray(tp.accumulate_down(jnp.asarray(w))).astype(np.int64)
+    want = np.zeros(n, np.int64)
+    for i in range(n):
+        if ids[i] < 0:
+            want[i] = w[i]
+            continue
+        j, acc = i, 0
+        while True:
+            acc += w[j]
+            if ids[j] == j:
+                break
+            j = ids[j]
+        want[i] = acc
+    assert np.array_equal(got, want)
+
+
+def test_accumulate_down_stream_distance():
+    """Downstream distance to pit in cells = accumulate_down of per-cell
+    step indicators (pits 0), matching streams.stream_distance."""
+    from pyflwdir_tpu import streams as streams_mod
+
+    d8 = _grid((256, 256), seed=8, holes=True)
+    ids, pit, nv = d8c.from_array(d8)
+    tp = build_tile_plan(ids, d8.shape)
+    valid = ids >= 0
+    step = (valid & (ids != np.arange(ids.size))).astype(np.int32)
+    got = np.asarray(tp.accumulate_down(jnp.asarray(step)))
+    want = np.asarray(
+        streams_mod.stream_distance(
+            jnp.asarray(ids), d8.shape, real_length=False
+        )
+    ).astype(np.int64)
+    got = np.where(valid, got, -9999)
+    want = np.where(valid, want, -9999)
+    assert np.array_equal(got[valid], want[valid])

@@ -322,6 +322,26 @@ class FlwdirRaster(Flwdir):
                 raise ValueError("IDs size does not match size of idxs.")
             elif np.any(ids == 0):
                 raise ValueError("IDs cannot contain a value zero.")
+        cut = np.zeros(self.size, dtype=bool)
+        cut[np.asarray(idxs)] = True
+        tp = self._tp_down(cut=cut)
+        if tp is not None:
+            # root-id broadcast over the graph cut at the outlets: one
+            # downward sweep, exact in int32
+            ids_np = (
+                np.arange(1, np.asarray(idxs).size + 1, dtype=np.uint32)
+                if ids is None
+                else np.asarray(ids)
+            )
+            if ids_np.size and int(ids_np.max()) >= 2**31:
+                tp = None  # exact int32 downward sweep cannot hold the ids
+        if tp is not None:
+            w = np.zeros(self.size, np.int32)
+            w[np.asarray(idxs)] = ids_np.astype(np.int32)
+            out = np.asarray(tp.accumulate_down(jnp.asarray(w)))
+            valid = self._idxs_ds != self._mv
+            basids = np.where(valid, out, 0).astype(ids_np.dtype)
+            return basids.reshape(self.shape)
         basids = np.asarray(basins_mod.basins(self._jds, idxs, ids=None if ids is None else jnp.asarray(ids)))
         return basids.reshape(self.shape)
 
@@ -504,12 +524,68 @@ class FlwdirRaster(Flwdir):
         out = np.where(np.asarray(crossing & (n_below == 0)))[0]
         return out.astype(self._idxs_ds.dtype)
 
+    def _tp_down(self, cut=None):
+        """Tile plan for downward-path ops (ops/tile_plan.py
+        accumulate_down), optionally on the graph *cut* at ``cut`` cells
+        (made pits, so they act as outlets for everything upstream).
+        None below the size threshold or when the build fails."""
+        if self.size <= self._TILE_PLAN_MIN:
+            return None
+        from .ops.tile_plan import build_tile_plan
+
+        try:
+            if cut is None:
+                if "tile_plan" not in self._cached:
+                    self._cached["tile_plan"] = build_tile_plan(
+                        self._idxs_ds, self.shape
+                    )
+                return self._cached["tile_plan"]
+            ar = np.arange(self.size, dtype=self._idxs_ds.dtype)
+            valid = self._idxs_ds != self._mv
+            ids2 = np.where(np.asarray(cut, bool) & valid, ar, self._idxs_ds)
+            return build_tile_plan(ids2, self.shape)
+        except Exception:
+            return None
+
     def stream_distance(self, mask=None, unit="cell"):
-        """Distance to outlet or downstream mask cell. Parity: pyflwdir.py:837-863."""
+        """Distance to outlet or downstream mask cell. Parity: pyflwdir.py:837-863.
+
+        Above the tile-plan threshold this is one
+        :meth:`TilePlan.accumulate_down` sweep (downstream-path sum of
+        step lengths; mask cells become cut-graph pits) on the chip.
+        """
         unit = str(unit).lower()
         if unit not in ["m", "cell"]:
             raise ValueError(f'Unknown unit: {unit}, select from "m", "cell"')
         mask = self._check_data(mask, "mask", optional=True)
+        cutm = None if mask is None else (mask != 0)
+        tp = self._tp_down(cut=cutm)
+        if tp is not None:
+            ar = np.arange(self.size, dtype=np.int64)
+            valid = self._idxs_ds != self._mv
+            ids2 = self._idxs_ds.astype(np.int64)
+            if cutm is not None:
+                ids2 = np.where(cutm & valid, ar, ids2)
+            moving = (ids2 >= 0) & (ids2 != ar)
+            if unit == "cell":
+                out = np.asarray(
+                    tp.accumulate_down(jnp.asarray(moving.astype(np.int32)))
+                )
+                dist = np.where(valid, out, -9999).astype(np.int32)
+            else:
+                w = np.asarray(
+                    geodesy.distance_grid(
+                        ids2,
+                        self.shape,
+                        latlon=self.latlon,
+                        transform=self.transform,
+                    ),
+                    np.float32,
+                ).ravel()
+                w = np.where(moving, w, 0).astype(np.float32)
+                out = np.asarray(tp.accumulate_down(jnp.asarray(w)))
+                dist = np.where(valid, out, -9999.0).astype(np.float32)
+            return dist.reshape(self.shape)
         dist = np.asarray(
             streams_mod.stream_distance(
                 self._jds,
@@ -807,12 +883,31 @@ class FlwdirRaster(Flwdir):
         return elv_out.reshape(self.shape).astype(np.asarray(elevtn).dtype)
 
     def hand(self, drain, elevtn):
-        """Height above nearest drain. Parity: pyflwdir.py:1485-1511."""
+        """Height above nearest drain. Parity: pyflwdir.py:1485-1511.
+
+        Above the tile-plan threshold: cut the graph at the drain cells
+        and broadcast each cut-root's elevation over its tree with one
+        :meth:`TilePlan.accumulate_down` sweep (root-value broadcast —
+        the path sum touches exactly one nonzero weight)."""
+        drain_arr = self._check_data(drain, "drain")
+        elev_arr = self._check_data(elevtn, "elevtn")
+        dr = np.asarray(drain_arr).ravel() != 0
+        valid = self._idxs_ds != self._mv
+        tp = self._tp_down(cut=dr)
+        if tp is not None:
+            ar = np.arange(self.size, dtype=np.int64)
+            z = np.asarray(elev_arr, np.float32).ravel()
+            is_root = (dr | (self._idxs_ds.astype(np.int64) == ar)) & valid
+            w = np.where(is_root, z, 0).astype(np.float32)
+            zroot = np.asarray(tp.accumulate_down(jnp.asarray(w)))
+            hand = np.where(valid, z - zroot, -9999.0)
+            hand = np.where(dr & valid, 0.0, hand)
+            return hand.reshape(self.shape).astype(np.float64)
         hand = np.asarray(
             dem_mod.height_above_nearest_drain(
                 self._jds,
-                jnp.asarray(self._check_data(drain, "drain")),
-                jnp.asarray(self._check_data(elevtn, "elevtn")),
+                jnp.asarray(drain_arr),
+                jnp.asarray(elev_arr),
             )
         )
         return hand.reshape(self.shape)

@@ -273,3 +273,39 @@ def test_accumulate_down_stream_distance():
     got = np.where(valid, got, -9999)
     want = np.where(valid, want, -9999)
     assert np.array_equal(got[valid], want[valid])
+
+
+def test_raster_downward_api_parity(monkeypatch):
+    """stream_distance / hand / basins through the tile-plan downward
+    engine equal the small-grid graph kernels (threshold lowered so the
+    same grid exercises both paths)."""
+    import pyflwdir_tpu
+
+    d8 = _grid((300, 260), seed=31)
+    fd = pyflwdir_tpu.from_array(d8, ftype="d8")
+    small = {
+        "dist": fd.stream_distance(unit="cell"),
+        "distm": fd.stream_distance(unit="m"),
+        "bas": fd.basins(),
+        "strord": fd.stream_order(),
+    }
+    rng = np.random.RandomState(3)
+    drain = np.asarray(fd.upstream_area(unit="cell")) > 50
+    small["hand"] = fd.hand(drain, rng.rand(300, 260).astype(np.float32) * 100)
+
+    fd2 = pyflwdir_tpu.from_array(d8, ftype="d8")
+    monkeypatch.setattr(type(fd2), "_TILE_PLAN_MIN", 0)
+    z = rng.rand(300, 260).astype(np.float32) * 100
+    got_dist = fd2.stream_distance(unit="cell")
+    assert np.array_equal(got_dist, small["dist"])
+    got_distm = fd2.stream_distance(unit="m")
+    ok = small["distm"] > 0
+    assert np.allclose(got_distm[ok], small["distm"][ok], rtol=1e-4)
+    assert np.array_equal(fd2.basins(), small["bas"])
+    assert np.array_equal(fd2.stream_order(), small["strord"])
+    # hand: same drain/z on both paths
+    h_small = fd.hand(drain, z)
+    h_big = fd2.hand(drain, z)
+    v = h_small != -9999.0
+    assert np.array_equal(v, h_big != -9999.0)
+    assert np.allclose(h_small[v], h_big[v], atol=1e-3)

@@ -258,6 +258,8 @@ def bench_big(jax, jnp):
         "idxs_ds": idxs_ds,
         "idxs_pit": idxs_pit,
         "n_valid": n_valid,
+        "tp": tp,
+        "d8_grid": d8_grid,
     }
 
     # secondary: the global 7-stage router plan (ops/accel_big.py), for
@@ -287,6 +289,159 @@ def bench_big(jax, jnp):
 
         res["seq"] = _bp(idxs_ds, fast=False).preorder_np
     return res
+
+
+def _steady_plain(jax, fn, args, k=4):
+    """Steady-state time of ``fn(*args)`` (jitted, one-element fetch)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    def run(n):
+        @jax.jit
+        def g(x, *rest):
+            def body(i, s):
+                d = jnp.maximum(x, jnp.minimum(s, jnp.zeros((), s.dtype)))
+                return fn(d, *rest)
+            return lax.fori_loop(0, n, body, x)[:1]
+
+        np.asarray(g(*args))
+        return time_best(lambda: np.asarray(g(*args)), n=3)
+
+    t1, t2 = run(k), run(2 * k)
+    return max(t2 - t1, 1e-9) / k
+
+
+def bench_stages(jax, jnp, d8_grid, idxs_ds, idxs_pit, n_valid, tp, seq):
+    """BASELINE configs 2-3: per-stage device timings at the headline
+    grid, with native -O3 CPU single-core references (the reference
+    publishes none; its numba sweeps are the same O(n) loops)."""
+    from pyflwdir_tpu import runtime
+    from pyflwdir_tpu.ops.fill import d8_from_filled, fill_depressions_dev
+    from pyflwdir_tpu.ops.order import strahler_tile_plan
+
+    side = d8_grid.shape[0]
+    n = idxs_ds.size
+    stages = {}
+
+    # DEM (regenerated deterministically; big_d8 derives from it)
+    rng = np.random.RandomState(11)
+    z = rng.rand(side, side).astype(np.float32)
+    z += np.add.outer(
+        np.linspace(4, 0, side), np.linspace(4, 0, side)
+    ).astype(np.float32)
+
+    # depression fill (device associative-scan sweeps vs host heap; the
+    # seed construction is host-side, so the call runs eagerly — the
+    # while_loop body is one compiled XLA computation either way)
+    zj = jnp.asarray(z)
+
+    def run_fill():
+        return np.asarray(fill_depressions_dev(zj)[:1, :1])
+
+    run_fill()
+    t_dev = time_best(run_fill, n=2)
+    t0 = time.time()
+    filled_host = runtime.priority_flood(z.astype(np.float64))[0]
+    t_cpu = time.time() - t0
+    fd = np.asarray(fill_depressions_dev(zj))
+    assert np.allclose(fd, filled_host.astype(np.float32), atol=1e-5), (
+        "device fill surface != host priority flood"
+    )
+    del fd
+    stages["fill"] = {"dev_s": t_dev, "mgps": n / t_dev / 1e6, "cpu_s": t_cpu}
+    log(f"fill: {n / t_dev / 1e6:.0f} Mgp/s dev ({t_dev:.2f}s) vs {t_cpu:.1f}s host heap")
+
+    # filled DEM -> D8 (device steepest descent + flat resolution)
+    filled_dev = fill_depressions_dev(jnp.asarray(z))
+    f_d8 = jax.jit(lambda ff: d8_from_filled(ff).ravel()[:1])
+    np.asarray(f_d8(filled_dev))
+    t_dev = time_best(lambda: np.asarray(f_d8(filled_dev)), n=2)
+    stages["d8_from_dem"] = {"dev_s": t_dev, "mgps": n / t_dev / 1e6}
+    log(f"d8_from_filled: {n / t_dev / 1e6:.0f} Mgp/s dev ({t_dev:.2f}s)")
+
+    # Strahler order (log-depth tile-plan levels vs host preorder sweep;
+    # first call compiles the level step, second measures steady state)
+    sto = np.asarray(strahler_tile_plan(d8_grid, tp))
+    t0 = time.time()
+    sto = np.asarray(strahler_tile_plan(d8_grid, tp))
+    t_dev = time.time() - t0
+    t0 = time.time()
+    sto_host = runtime.strahler_order(idxs_ds.astype(np.int64), seq)
+    t_cpu = time.time() - t0
+    assert np.array_equal(sto.ravel(), sto_host.astype(np.uint8))
+    stages["strahler"] = {"dev_s": t_dev, "mgps": n / t_dev / 1e6, "cpu_s": t_cpu}
+    log(f"strahler: {n / t_dev / 1e6:.0f} Mgp/s dev ({t_dev:.2f}s) vs {t_cpu:.1f}s host sweep")
+
+    # downward engine (stream distance; HAND/basins are the same sweep)
+    t0 = time.time()
+    tp._ensure_down()
+    t_down_build = time.time() - t0
+    darrs = tp.down_arrays()
+    ar = np.arange(n, dtype=np.int64)
+    step = ((idxs_ds >= 0) & (idxs_ds != ar)).astype(np.int32)
+    stepj = jnp.asarray(step)
+    t_dev = _steady_plain(
+        jax, lambda d, a: tp.accumulate_down(d, a), (stepj, darrs)
+    )
+    out = np.asarray(
+        jax.jit(lambda d, a: tp.accumulate_down(d, a))(stepj, darrs)
+    )
+    t0 = time.time()
+    dist_host = runtime.downward_sweep(
+        idxs_ds.astype(np.int64), seq, step.astype(np.float64)
+    )
+    t_cpu = time.time() - t0
+    assert np.array_equal(out.astype(np.float64), dist_host)
+    stages["stream_distance"] = {
+        "dev_s": t_dev,
+        "mgps": n / t_dev / 1e6,
+        "cpu_s": t_cpu,
+        "down_tables_s": t_down_build,
+    }
+    log(
+        f"stream distance (downward engine): {n / t_dev / 1e6:.0f} Mgp/s dev"
+        f" ({t_dev * 1e3:.0f}ms; tables {t_down_build:.0f}s one-off)"
+        f" vs {t_cpu:.1f}s host sweep"
+    )
+    return stages
+
+
+def bench_big2(jax, jnp):
+    """Config-5 step: 16384^2 (268M cell) end-to-end accumulate."""
+    from pyflwdir_tpu.codecs import d8 as d8c
+    from pyflwdir_tpu.ops.tile_plan import build_tile_plan
+
+    side = 16384
+    d8_grid = big_d8(side)
+    t0 = time.time()
+    idxs_ds, idxs_pit, n_valid = d8c.from_array(d8_grid)
+    t_parse = time.time() - t0
+    n = idxs_ds.size
+    t0 = time.time()
+    tp = build_tile_plan(idxs_ds, d8_grid.shape, tile_rows=128)
+    t_build = time.time() - t0
+    log(f"16384^2 plan build {t_build:.1f}s (parse {t_parse:.1f}s)")
+    data = jnp.ones(n, dtype=jnp.int32)
+    arrs = tp.arrays()
+
+    out = np.asarray(jax.jit(lambda x, a: tp.accumulate(x, a))(data, arrs))
+    assert int(out[idxs_pit].sum()) == n_valid, "16384^2 conservation failed"
+    t = _steady_state_time(
+        jax,
+        lambda a, d, arrs: tp.accumulate(_dep(d, a), arrs),
+        data,
+        (data, arrs),
+        2,
+    )
+    log(f"16384^2: {n / t / 1e6:.0f} Mgp/s")
+    return {
+        "side": side,
+        "n_cells": n,
+        "t_s": t,
+        "gps": n / t,
+        "plan_build_s": t_build,
+        "parse_s": t_parse,
+    }
 
 
 def bench_rhine(jax, jnp):
@@ -359,13 +514,42 @@ def main():
         f"{big['x_over_speed_of_light']:.1f}x over speed-of-light"
     )
 
+    stages = {}
+    if not os.environ.get("PYFLWDIR_BENCH_SKIP_STAGES"):
+        stages = bench_stages(
+            jax,
+            jnp,
+            big["d8_grid"],
+            big["idxs_ds"],
+            big["idxs_pit"],
+            big["n_valid"],
+            big["tp"],
+            big["seq"].astype(np.int64),
+        )
+
+    big2 = {}
+    if not os.environ.get("PYFLWDIR_BENCH_SKIP_BIG2"):
+        # release the 8192^2 plans' device tables first: the 268M-cell
+        # plan needs most of the chip's HBM for its own
+        import gc
+
+        big["tp"]._dev = None
+        big["tp"]._down_dev = None
+        for k in ("tp", "d8_grid"):
+            big.pop(k, None)
+        gc.collect()
+        big2 = bench_big2(jax, jnp)
+
     t_cpu, gps_cpu = cpu_baseline(
         big["idxs_ds"], big["idxs_pit"], big["n_valid"], big["seq"], reps=3
     )
     log(f"cpu baseline (big): {gps_cpu / 1e6:.0f} Mgp/s ({t_cpu:.2f}s/sweep)")
 
+    plain = (int, float, str, bool, dict)
     info = {
-        "big": {k: v for k, v in big.items() if not isinstance(v, np.ndarray)},
+        "big": {k: v for k, v in big.items() if isinstance(v, plain)},
+        "big2_268M": big2,
+        "stages": stages,
         "rhine": rhine,
         "cpu_native_sweep_s_big": t_cpu,
         "cpu_native_gps_big": gps_cpu,
@@ -392,6 +576,11 @@ def main():
                 "plan_build_s": round(big["plan_build_s"], 1),
                 "router_mgps": round(big.get("router_gps", 0) / 1e6, 1),
                 "rhine_mgps": round(rhine["gps"] / 1e6, 1),
+                "stages_mgps": {
+                    k: round(v["mgps"], 1) for k, v in stages.items()
+                },
+                "big2_mgps": round(big2.get("gps", 0) / 1e6, 1),
+                "big2_plan_build_s": round(big2.get("plan_build_s", 0), 1),
             }
         )
     )

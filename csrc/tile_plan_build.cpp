@@ -529,3 +529,15 @@ extern "C" void flw_collect_pits(const int32_t* idxs_ds, int64_t n,
   for (int64_t i = 0; i < n; ++i)
     if (idxs_ds[i] == (int32_t)i) pits[k++] = (int32_t)i;
 }
+
+// sequential downward path-sum sweep over the cached preorder (parents
+// first): out[i] = w[i] + out[ds(i)] — the reference-style numba loop
+// (streams.py:272-315 etc.) as a native -O3 CPU baseline for the bench.
+extern "C" void downward_sweep(const int64_t* ids, const int64_t* seq,
+                               int64_t k, const double* w, double* out) {
+  for (int64_t j = 0; j < k; ++j) {
+    const int64_t i = seq[j];
+    const int64_t d = ids[i];
+    out[i] = w[i] + (d == i ? 0.0 : out[d]);
+  }
+}

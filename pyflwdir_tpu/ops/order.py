@@ -107,30 +107,40 @@ def strahler_tile_plan(codes, tp, arrs=None, mask=None, max_order=32):
     if arrs is None:
         arrs = tp.arrays()
 
-    @jax.jit
-    def level(member, arrs):
-        cnt = jnp.zeros((nrow, ncol), jnp.int32)
-        for sr in (-1, 0, 1):
-            for sc in (-1, 0, 1):
-                if sr == 0 and sc == 0:
-                    continue
-                src = (member & (dr == sr) & (dc == sc)).astype(jnp.int32)
-                shifted = jnp.roll(src, (sr, sc), axis=(0, 1))
-                # cells rolled around the grid edge cannot drain there
-                if sr != 0:
-                    edge = 0 if sr > 0 else nrow - 1
-                    shifted = shifted.at[edge, :].set(0)
-                if sc != 0:
-                    edge = 0 if sc > 0 else ncol - 1
-                    shifted = shifted.at[:, edge].set(0)
-                cnt = cnt + shifted
-        gen = ((cnt >= 2) & member).astype(jnp.int32)
-        accu = tp.accumulate(gen.reshape(-1), arrs).reshape(nrow, ncol)
-        new_member = (accu >= 1) & member
-        return new_member, jnp.any(gen)
+    # the jitted level step is cached on the plan so repeated calls (and
+    # benchmark steady-state timing) reuse one compilation
+    level = getattr(tp, "_strahler_level_jit", None)
+    if level is None or getattr(tp, "_strahler_level_shape", None) != (
+        nrow,
+        ncol,
+    ):
+        def level_fn(member, dr, dc, arrs):
+            cnt = jnp.zeros((nrow, ncol), jnp.int32)
+            for sr in (-1, 0, 1):
+                for sc in (-1, 0, 1):
+                    if sr == 0 and sc == 0:
+                        continue
+                    src = (member & (dr == sr) & (dc == sc)).astype(jnp.int32)
+                    shifted = jnp.roll(src, (sr, sc), axis=(0, 1))
+                    # cells rolled around the grid edge cannot drain there
+                    if sr != 0:
+                        edge = 0 if sr > 0 else nrow - 1
+                        shifted = shifted.at[edge, :].set(0)
+                    if sc != 0:
+                        edge = 0 if sc > 0 else ncol - 1
+                        shifted = shifted.at[:, edge].set(0)
+                    cnt = cnt + shifted
+            gen = ((cnt >= 2) & member).astype(jnp.int32)
+            accu = tp.accumulate(gen.reshape(-1), arrs).reshape(nrow, ncol)
+            new_member = (accu >= 1) & member
+            return new_member, jnp.any(gen)
+
+        level = jax.jit(level_fn)
+        tp._strahler_level_jit = level
+        tp._strahler_level_shape = (nrow, ncol)
 
     for _ in range(1, max_order):
-        member, any_gen = level(member, arrs)
+        member, any_gen = level(member, dr, dc, arrs)
         if not bool(any_gen):
             break
         order = order + member.astype(jnp.uint8)

@@ -336,8 +336,12 @@ def _body_a(x, tb, cfg):
     f32 matmuls)."""
     v = _local_chain(x, *_ptabs(tb, "rin"), cfg["G"])
     c = _cumsum_tile(v)
-    ce = _local_chain(c, *_ptabs(tb, "ex"), cfg["G"])[: cfg["R_rows"]]
-    return ce - _flat_prev(ce)
+    R = cfg["R_rows"]
+    # Mosaic's dynamic lane gather rejects sub-8-sublane operands: keep at
+    # least 8 rows through the prev-difference, then slice the real rows
+    Rp = max(R, min(8, cfg["Y"]))
+    ce = _local_chain(c, *_ptabs(tb, "ex"), cfg["G"])[:Rp]
+    return (ce - _flat_prev(ce))[:R]
 
 
 def _body_c(x, entA, tb, cfg):

@@ -26,7 +26,13 @@ import jax
 
 from .tiled import make_mesh, tiled_accumulate
 
-__all__ = ["init_distributed", "global_mesh", "scaling_report"]
+__all__ = [
+    "init_distributed",
+    "global_mesh",
+    "scaling_report",
+    "scaling_model",
+    "weak_scaling_report",
+]
 
 _initialized = False
 
@@ -79,6 +85,86 @@ def global_mesh():
         dev_arr = np.array(devices).reshape(n_proc, per_proc)
         return Mesh(dev_arr, ("ty", "tx"))
     return make_mesh(devices=devices)
+
+
+def scaling_model(tp, n_devices, hbm_gbps=819.0, ici_gbps=45.0):
+    """Static communication/computation model of one *sharded* tile-plan
+    accumulation sweep (``TilePlan.accumulate_sharded``), derived entirely
+    from the plan — no wall-clock measurement involved, so it is valid on
+    hardware this environment cannot provide.
+
+    Per device and sweep: two streaming Pallas passes over the local tile
+    slab (``compute_bytes``), ONE ``all_gather`` of the per-tile exit
+    records over ICI (``collective_bytes`` = (n-1)/n of the global exit
+    array), and a redundant coarse solve (~n/80 nodes, counted into
+    compute). Predicted efficiency = t_compute / (t_compute + t_comm) at
+    the given v5e per-chip HBM and per-link ICI rates — an upper-level
+    model (no overlap assumed; overlapping the gather with pass A only
+    raises it).
+    """
+    a_keys = tp._keys("a")
+    c_keys = tp._keys("c")
+    tab = lambda keys: sum(tp._tabs_np[k].nbytes for k in set(keys))
+    n_cells = tp.pshape[0] * tp.pshape[1]
+    bpc = (tab(a_keys) + tab(c_keys)) / n_cells + 3 * 4
+    compute_bytes = bpc * n_cells / n_devices
+    exits_bytes = tp.n_exit_flat * 4
+    collective_bytes = exits_bytes * (n_devices - 1) / max(n_devices, 1)
+    t_compute = compute_bytes / (hbm_gbps * 1e9)
+    t_comm = collective_bytes / (ici_gbps * 1e9)
+    return {
+        "n_devices": n_devices,
+        "bytes_per_cell": bpc,
+        "compute_bytes_per_device": compute_bytes,
+        "collective_bytes_per_device": collective_bytes,
+        "collectives_per_sweep": 1,
+        "t_compute_model_s": t_compute,
+        "t_comm_model_s": t_comm,
+        "predicted_efficiency": t_compute / (t_compute + t_comm),
+        "assumptions": {
+            "hbm_gbps_per_chip": hbm_gbps,
+            "ici_gbps_per_link": ici_gbps,
+            "overlap": "none (lower bound; the gather can hide under pass A)",
+        },
+    }
+
+
+def weak_scaling_report(cells_per_device=256 * 256, n_devices_list=None, reps=2):
+    """Weak-scaling harness: per-device work held constant while the grid
+    grows with the mesh. On the virtual CPU mesh the wall-clock numbers
+    validate machinery only (all \"devices\" share host cores); on real
+    chips the same harness measures true weak scaling."""
+    from pyflwdir_tpu import dem as dem_mod
+
+    if n_devices_list is None:
+        n = len(jax.devices())
+        n_devices_list = sorted({1, 2, n} - {0})
+    out = {}
+    for k in n_devices_list:
+        mesh = make_mesh(k)
+        ty, tx = mesh.devices.shape
+        rows = int(np.sqrt(cells_per_device * k / (ty * tx))) * ty
+        cols = int(cells_per_device * k / max(rows, 1)) // 128 * 128 or 128
+        rng = np.random.RandomState(3)
+        z = rng.rand(max(rows, 128), max(cols, 128))
+        z += np.add.outer(
+            np.linspace(2, 0, z.shape[0]), np.linspace(2, 0, z.shape[1])
+        )
+        codes = dem_mod.fill_depressions(z)[1]
+        data = np.ones(codes.shape, dtype=np.float32)
+        tiled_accumulate(codes, data, mesh)  # compile
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            tiled_accumulate(codes, data, mesh)
+            best = min(best, time.perf_counter() - t0)
+        out[k] = {
+            "grid": list(codes.shape),
+            "cells_per_device": codes.size / k,
+            "t_s": best,
+            "cells_per_s_per_device": codes.size / k / best,
+        }
+    return out
 
 
 def scaling_report(codes: np.ndarray, n_devices_list=None, reps=3):

@@ -767,24 +767,14 @@ def tiled_fill(
     :mod:`pyflwdir_tpu.ops.fill`) with per-round 8-neighbor halo exchange:
     each round runs one local down+up sweep pair against the neighbors'
     current surface and iterates to the global fixpoint. Matches the host
-    priority-flood surface (max_depth < 0 semantics); the capped
-    ``max_depth >= 0`` / ``elv_max`` variants of the single-device
-    ``fill_depressions_dev`` are not implemented for the tiled runtime
-    and raise.
+    priority-flood surface (max_depth < 0 semantics). ``max_depth >= 0``
+    caps the fill depth with the same outer fixpoint as
+    ``fill_depressions_dev`` (depth-exceeding cells become interior pits
+    and the fill reruns with them seeded); ``elv_max`` restricts the edge
+    seeds.
     """
     from ..dem import get_edge
     from ..ops.fill import _sweep
-
-    if max_depth is not None and max_depth >= 0:
-        raise NotImplementedError(
-            "tiled_fill does not support max_depth >= 0; use "
-            "ops.fill.fill_depressions_dev on a single device"
-        )
-    if elv_max is not None:
-        raise NotImplementedError(
-            "tiled_fill does not support elv_max; use "
-            "ops.fill.fill_depressions_dev on a single device"
-        )
 
     dem = np.asarray(dem)
     nrow0, ncol0 = dem.shape
@@ -798,6 +788,10 @@ def tiled_fill(
         seeds.flat[np.atleast_1d(idxs_pit)] = True
     else:
         seeds = get_edge(~bad, structure=struct)
+        if elv_max is not None:
+            seeds = np.logical_and(seeds, dem <= elv_max)
+            if not np.any(seeds):
+                raise ValueError("No initial outlet cells found.")
         if outlets == "min":
             zb = np.where(seeds, dem, np.inf).astype(np.float32)
             i = np.unravel_index(np.argmin(zb), dem.shape)
@@ -806,7 +800,6 @@ def tiled_fill(
 
     dem_eff = np.where(bad, np.inf, dem).astype(np.float32)
     dem_p = pad_to_tiles(dem_eff, mesh, fill=np.inf)
-    seeds_p = pad_to_tiles(seeds, mesh, fill=False)
     bad_p = pad_to_tiles(bad, mesh, fill=True)
     if max_rounds is None:
         max_rounds = int(np.sum(mesh.devices.shape) * 16 + 64)
@@ -846,6 +839,23 @@ def tiled_fill(
         filled = jnp.where(bad_t, nodata, w)
         return filled, (changed > 0).astype(jnp.int32).reshape(1, 1)
 
-    out, stalled = _run_sharded(mesh, step, dem_p, seeds_p, bad_p)
-    _check_converged(stalled, "fill")
-    return np.asarray(out)[:nrow0, :ncol0].astype(dem.dtype)
+    def fill_once(seeds_now):
+        seeds_p = pad_to_tiles(seeds_now, mesh, fill=False)
+        out, stalled = _run_sharded(mesh, step, dem_p, seeds_p, bad_p)
+        _check_converged(stalled, "fill")
+        return np.asarray(out)[:nrow0, :ncol0]
+
+    filled = fill_once(seeds)
+    if max_depth is not None and max_depth >= 0:
+        # outer fixpoint (fill_depressions_dev semantics): cells whose
+        # fill reaches max_depth stay at their own elevation and become
+        # interior pits; rerun with them seeded until none remain
+        for _ in range(int(max_rounds)):
+            deep = (
+                ~seeds & ~bad & ((filled - dem) >= max_depth)
+            )
+            if not deep.any():
+                break
+            seeds = seeds | deep
+            filled = fill_once(seeds)
+    return filled.astype(dem.dtype)

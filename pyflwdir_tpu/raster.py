@@ -40,19 +40,48 @@ def from_dem(
     transform=IDENTITY,
     latlon=False,
     outlets="edge",
+    engine="auto",
 ):
     """Flow direction raster from a DEM by steepest gradient.
 
     Parity: reference pyflwdir.py:51-102 — priority-flood depression
     filling (Wang & Liu 2006) emits D8 directions which are parsed into a
     FlwdirRaster.
+
+    ``engine="device"`` replaces the O(n log n) single-core host heap by
+    the device fill (:mod:`pyflwdir_tpu.ops.fill`: associative-scan
+    sweeps + steepest-descent/flat-resolution D8). The filled *surface*
+    matches the host kernel exactly (verified bitwise at 8192^2); the
+    derived D8 directions may differ on ties/flats (both are valid
+    drainages of the same surface, like the reference's heap-pop
+    order-dependent choices). ``"auto"`` currently keeps the host heap —
+    measured ~1.7M cells/s vs ~1.0M cells/s for the 256-round device
+    fill on v5e (docs/performance.md) — and exists so the default can
+    flip when the device fill's round count improves.
     """
-    d8 = dem_mod.fill_depressions(
-        data, nodata=nodata, max_depth=max_depth, outlets=outlets
-    )[1]
+    if engine not in ("auto", "host", "device"):
+        raise ValueError(f"Unknown engine: {engine}")
+    data = np.asarray(data)
+    d8 = None
+    if engine == "device":
+        from .ops.fill import d8_from_filled, fill_depressions_dev
+
+        filled = fill_depressions_dev(
+            data, nodata=nodata, outlets=outlets, max_depth=max_depth
+        )
+        d8 = np.asarray(d8_from_filled(filled, nodata=nodata))
+    if d8 is None:
+        d8 = dem_mod.fill_depressions(
+            data, nodata=nodata, max_depth=max_depth, outlets=outlets
+        )[1]
     return from_array(
         d8, ftype="d8", check_ftype=False, transform=transform, latlon=latlon
     )
+
+
+# device-fill threshold for from_dem (cells); the host heap costs
+# O(n log n) single-core minutes past this scale
+_FROM_DEM_DEV_MIN = 1 << 21
 
 
 def _get_idxs_dtype(n):
@@ -605,9 +634,10 @@ class FlwdirRaster(Flwdir):
         valid = nxt != self._mv
         if mask is not None:
             valid &= mask != 0
-        idxs = [
-            np.array([i, nxt[i]], dtype=nxt.dtype) for i in np.where(valid)[0]
-        ]
+        # one (k, 2) array instead of k per-cell arrays — features()
+        # iterates its rows (no per-cell Python allocation)
+        w = np.flatnonzero(valid)
+        idxs = np.stack([w.astype(nxt.dtype), nxt[w]], axis=1)
         return self.geofeatures(idxs, xs=xs, ys=ys, **kwargs)
 
     def streams(

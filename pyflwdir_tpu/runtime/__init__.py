@@ -754,6 +754,23 @@ if _lib is not None:
         )
         return idxs_ds, pits, int(nv.value)
 
+    _lib.downward_sweep.restype = None
+    _lib.downward_sweep.argtypes = [_I64P, _I64P, ctypes.c_int64, _F64P, _F64P]
+
+    def downward_sweep(idxs_ds, seq, w):
+        """Sequential downward path-sum sweep (reference-style numba loop
+        as native -O3): out[i] = w[i] + out[ds(i)] over the parents-first
+        preorder. CPU baseline for the downward device kernels."""
+        ids = _i64(idxs_ds)
+        seq = _i64(seq)
+        w = np.ascontiguousarray(w, dtype=np.float64)
+        out = np.zeros_like(w)
+        _lib.downward_sweep(
+            ids.ctypes.data_as(_I64P), seq.ctypes.data_as(_I64P), seq.size,
+            w.ctypes.data_as(_F64P), out.ctypes.data_as(_F64P),
+        )
+        return out
+
     def tile_inv_rows(t):
         """Row-wise inverse of stacked permutation tables (..., S)."""
         t = np.ascontiguousarray(t, dtype=np.int8)
@@ -771,6 +788,6 @@ if _lib is not None:
                "fixed_windows", "trace_walks", "ihu_relocate",
                "ihu_opt_rivlen", "ihu_min_error", "tile_plan_phase1",
                "tile_pad_bijection", "tile_fwd_tables", "tile_inv_rows",
-               "flw_from_array_lut"]
+               "flw_from_array_lut", "downward_sweep"]
 else:
     __all__ = []

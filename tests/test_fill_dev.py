@@ -91,3 +91,25 @@ def test_dev_fill_max_depth_invariants():
         assert np.all(got >= a - 1e-6)
         d8_arr = d8_from_filled(got)
         _check_valid_network(got, d8_arr)
+
+
+def test_from_dem_device_engine():
+    """from_dem(engine="device") produces a valid drainage of the same
+    filled surface as the host heap (conservation + surface parity)."""
+    import pyflwdir_tpu
+    from pyflwdir_tpu.ops.fill import fill_depressions_dev
+    from pyflwdir_tpu import dem as dem_mod
+
+    rng = np.random.RandomState(4)
+    z = rng.rand(96, 80).astype(np.float32)
+    z += np.add.outer(np.linspace(2, 0, 96), np.linspace(2, 0, 80)).astype(
+        np.float32
+    )
+    filled_host = dem_mod.fill_depressions(z)[0]
+    filled_dev = np.asarray(fill_depressions_dev(z))
+    assert np.allclose(filled_dev, filled_host, atol=1e-5)
+    fd = pyflwdir_tpu.from_dem(z, engine="device")
+    ua = fd.upstream_area(unit="cell")
+    n_valid = int((np.asarray(fd.idxs_ds) >= 0).sum())
+    pits = np.asarray(fd.idxs_pit)
+    assert int(ua.ravel()[pits].sum()) == n_valid

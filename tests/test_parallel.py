@@ -184,15 +184,25 @@ def test_tiled_hand_matches_monolith(d8_ref_large, n_devices):
     assert np.allclose(got[valid], want[valid], atol=1e-5)
 
 
-def test_tiled_fill_rejects_capped_variants(d8_ref):
+def test_tiled_fill_capped_variants(d8_ref):
+    """max_depth / elv_max on the tiled fill match the single-device
+    capped fill (same outer-fixpoint semantics)."""
+    from pyflwdir_tpu.ops.fill import fill_depressions_dev
     from pyflwdir_tpu.parallel import tiled_fill
 
     mesh = make_mesh(4)
-    dem = np.random.RandomState(3).rand(*d8_ref.shape).astype(np.float32)
-    with pytest.raises(NotImplementedError):
-        tiled_fill(dem, mesh, max_depth=1.0)
-    with pytest.raises(NotImplementedError):
-        tiled_fill(dem, mesh, elv_max=0.5)
+    rng = np.random.RandomState(3)
+    dem = rng.rand(40, 48).astype(np.float32)
+    dem += np.add.outer(
+        np.linspace(1, 0, 40), np.linspace(1, 0, 48)
+    ).astype(np.float32)
+    dem[10:14, 12:17] -= 0.8  # a deep depression
+    got = tiled_fill(dem, mesh, max_depth=0.3)
+    want = np.asarray(fill_depressions_dev(dem, max_depth=0.3))
+    assert np.allclose(got, want, atol=1e-6)
+    got = tiled_fill(dem, mesh, elv_max=1.5)
+    want = np.asarray(fill_depressions_dev(dem, elv_max=1.5))
+    assert np.allclose(got, want, atol=1e-6)
 
 
 @pytest.mark.parametrize("n_devices", [4, 8])

@@ -27,7 +27,15 @@ import jax.numpy as jnp
 
 from .ops import graph
 
-__all__ = ["dmm", "eam", "eam_plus", "ihu", "upscale_error", "upscale_check"]
+__all__ = [
+    "dmm",
+    "eam",
+    "eam_plus",
+    "ihu",
+    "ihu_tiled",
+    "upscale_error",
+    "upscale_check",
+]
 
 _MV = -1
 
@@ -621,3 +629,191 @@ def ihu(
 def eam_plus(subidxs_ds, subuparea, subshape, cellsize, mv=_MV):
     """EAM+ = IHU without repair iterations. Parity: upscale.py:1308-1309."""
     return ihu(subidxs_ds, subuparea, subshape, cellsize, niter=0, mv=mv)
+
+
+# ---------------------------------------------------------------------------
+# banded (out-of-core) IHU — continental mosaics within bounded host RAM
+# ---------------------------------------------------------------------------
+def _ihu_construct_banded(
+    subidxs_ds, subuparea, subshape, shape, cellsize, r_ratio, mv, band_rows,
+    halo_rows,
+):
+    """IHU construction passes over lowres-row bands of the highres grid.
+
+    Representative cells and outlet traces are confined to their own
+    lowres cell, so bands need no halo; the outlet->outlet nextidx walks
+    cross at most the D8 ring for valid connections, so a ``halo_rows``
+    lowres-ring suffices — a walk that escapes the halo could only end in
+    a non-D8 cell and takes the same flagged-for-repair fallback the
+    monolithic walk would. ``subidxs_ds``/``subuparea`` may be memmaps:
+    only one band (+halo) is resident at a time.
+    """
+    subnrow, subncol = subshape
+    nrow, ncol = shape
+    nlow = nrow * ncol
+    dtype = np.int64
+    rep_g = np.full(nlow, mv, dtype=dtype)
+    out_g = np.full(nlow, mv, dtype=dtype)
+
+    # pass 1: representative cells + outlet pixels (no halo needed)
+    for b0 in range(0, nrow, band_rows):
+        b1 = min(b0 + band_rows, nrow)
+        r0, r1 = b0 * cellsize, min(b1 * cellsize, subnrow)
+        off = r0 * subncol
+        sds = np.asarray(subidxs_ds[off : r1 * subncol], dtype=np.int64)
+        supa = np.asarray(subuparea[off : r1 * subncol])
+        sub_g = off + np.arange(sds.size, dtype=np.int64)
+        valid = sds != mv
+        ispit = sds == sub_g
+        ea = effective_area(sub_g, subncol, cellsize, r_ratio)
+        sel = valid & (ispit | ea)
+        lowres = subidx_2_idx(sub_g, subncol, cellsize, ncol)
+        # local scatter-argmax over the band's lowres rows only
+        lo0, lo1 = b0 * ncol, b1 * ncol
+        rep_loc = _scatter_argmax(sel, lowres - lo0, supa, lo1 - lo0, dtype)
+        rep_g[lo0:lo1] = np.where(rep_loc != mv, rep_loc + off, mv)
+
+        # outlet trace: stop where the downstream pixel leaves the cell
+        # (paths never leave the cell, hence never the band)
+        ds_g = np.where(valid, sds, sub_g)
+        exit_ = lowres != subidx_2_idx(ds_g, subncol, cellsize, ncol)
+        pit = valid & ispit
+        stop = exit_ | pit
+        lds = np.where(valid & ~stop, sds - off, -1).astype(np.int32)
+        ar = np.arange(sds.size, dtype=np.int32)
+        lds = np.where(stop & valid, ar, lds)  # freeze at stops
+        t = np.asarray(
+            graph.reach(jnp.asarray(lds), jnp.asarray(stop & valid))
+        ).astype(np.int64)
+        rep_band = rep_g[lo0:lo1]
+        has = rep_band != mv
+        out_g[lo0:lo1][has] = t[rep_band[has] - off] + off
+
+    # pass 2: outlet -> next outlet walks with a lowres-ring halo
+    idxs_ds = np.full(nlow, mv, dtype=dtype)
+    fix_all = []
+    for b0 in range(0, nrow, band_rows):
+        b1 = min(b0 + band_rows, nrow)
+        h0 = max(b0 - halo_rows, 0) * cellsize
+        h1 = min((b1 + halo_rows) * cellsize, subnrow)
+        off = h0 * subncol
+        hi = h1 * subncol
+        sds = np.asarray(subidxs_ds[off:hi], dtype=np.int64)
+        supa = np.asarray(subuparea[off:hi])
+        lo0, lo1 = b0 * ncol, b1 * ncol
+        idx0 = lo0 + np.where(out_g[lo0:lo1] != mv)[0]
+        if idx0.size == 0:
+            continue
+        cur = out_g[idx0]  # global pixel ids, inside the band
+        ea_first = np.full(idx0.size, mv, dtype=np.int64)
+        result = np.full(idx0.size, mv, dtype=np.int64)
+        fix = np.zeros(idx0.size, dtype=bool)
+        active = np.ones(idx0.size, dtype=bool)
+        for _ in range(hi - off):
+            if not active.any():
+                break
+            ai = np.where(active)[0]
+            sub1 = sds[cur[ai] - off]
+            low1 = subidx_2_idx(sub1, subncol, cellsize, ncol)
+            pit = sub1 == cur[ai]
+            at_outlet = out_g[low1] == sub1
+            escaped = (sub1 < off) | (sub1 >= hi)
+            stop = at_outlet | pit | escaped
+            ea = effective_area(sub1, subncol, cellsize, r_ratio)
+            unset = ea_first[ai] == mv
+            take = unset & ea & ~stop
+            ea_first[ai[take]] = sub1[take]
+            si = ai[stop]
+            # an escaped walk could only end >1 lowres ring away: not-D8
+            d8ok = in_d8(idx0[si], low1[stop], ncol) & ~escaped[stop]
+            res = np.where(d8ok, sub1[stop], ea_first[si])
+            fix[si] |= ~d8ok
+            fix[si] |= d8ok & ~at_outlet[stop]
+            result[si] = res
+            cur[ai[~stop]] = sub1[~stop]
+            active[si] = False
+        result = np.where(result == mv, ea_first, result)
+        good = result != mv
+        vals = np.full(idx0.size, mv, dtype=np.int64)
+        vals[good] = subidx_2_idx(result[good], subncol, cellsize, ncol)
+        idxs_ds[idx0] = vals
+        fix_all.append(idx0[fix])
+
+    idxs_fix = (
+        np.concatenate(fix_all) if fix_all else np.array([], dtype=dtype)
+    )
+    return idxs_ds, out_g, idxs_fix
+
+
+def ihu_tiled(
+    subidxs_ds,
+    subuparea,
+    subshape,
+    cellsize,
+    band_rows=64,
+    halo_rows=4,
+    minlen_ratio=0.25,
+    minupa_ratio=0.25,
+    r_ratio=0.5,
+    niter=5,
+    opt_rivlen=True,
+    min_error=True,
+    pit_out_of_cell=2,
+    mv=_MV,
+):
+    """Out-of-core IHU for continental mosaics (BASELINE config 4).
+
+    Same behavioral spec as :func:`ihu`, with the highres construction
+    passes streamed over ``band_rows`` lowres-row bands (+``halo_rows``
+    rings for the cross-cell walks): pass ``subidxs_ds`` as an int64
+    ``np.memmap`` (and ``subuparea`` as float64) and at most one band is
+    ever resident; the repair rounds run on the (cellsize^2-smaller)
+    global lowres arrays with random paged access into the memmaps —
+    exactly the split the reference cannot do (its numba loops assume
+    resident arrays, upscale.py:1155-1305).
+    """
+    subnrow, subncol = subshape
+    shape = (int(np.ceil(subnrow / cellsize)), int(np.ceil(subncol / cellsize)))
+    geo = dict(subshape=subshape, shape=shape, cellsize=cellsize, mv=mv)
+    min_reach_len = cellsize * minlen_ratio
+    min_outlet_upa = cellsize**2 * minupa_ratio
+
+    idxs_ds, subidxs_out, broken = _ihu_construct_banded(
+        subidxs_ds_m := subidxs_ds,
+        subuparea,
+        subshape,
+        shape,
+        cellsize,
+        r_ratio,
+        mv,
+        band_rows,
+        halo_rows,
+    )
+
+    for round_no in range(niter):
+        idxs_ds, subidxs_out, _ = ihu_relocate_outlets(
+            broken, idxs_ds, subidxs_out, subidxs_ds_m, subuparea, **geo
+        )
+        valid, strm, still_broken, short = upscale_check(
+            subidxs_out, idxs_ds, subidxs_ds_m, minlen=min_reach_len, mv=mv
+        )
+        converged = still_broken.size in (0, broken.size)
+        final = converged or round_no + 1 == niter
+        repair_args = (idxs_ds, subidxs_out, subidxs_ds_m, subuparea)
+        if opt_rivlen:
+            idxs_ds, subidxs_out = ihu_optimize_rivlen(
+                short, valid, strm, *repair_args,
+                minlen=min_reach_len, minupa=min_outlet_upa, **geo,
+            )
+            repair_args = (idxs_ds, subidxs_out, subidxs_ds_m, subuparea)
+        if min_error:
+            idxs_ds, subidxs_out = ihu_minimize_error(
+                still_broken, valid, strm, *repair_args,
+                minlen=min_reach_len, minupa=min_outlet_upa,
+                pit_out_of_cell=pit_out_of_cell if final else 0, **geo,
+            )
+        if final:
+            break
+        broken = still_broken
+
+    return idxs_ds, subidxs_out, shape

@@ -72,3 +72,25 @@ def test_upscale_object_api(flw_large):
     # legacy aliases warn
     with pytest.warns(DeprecationWarning):
         flw_large.upscale(40, method="com2")
+
+
+def test_ihu_tiled_matches_monolith(flw_large):
+    """Banded (out-of-core) IHU equals the monolithic driver on the
+    reference oracle grid, including with small bands."""
+    from pyflwdir_tpu import upscale as u
+
+    sub_ds = flw_large.idxs_ds
+    subshape = flw_large.shape
+    upa = flw_large.upstream_area("cell").ravel().astype(np.float64)
+    want_ds, want_out, shape = u.ihu(sub_ds, upa, subshape, 20)
+    for band_rows in (2, 3, 1000):
+        got_ds, got_out, shape2 = u.ihu_tiled(
+            np.ascontiguousarray(sub_ds, dtype=np.int64),
+            np.ascontiguousarray(upa, dtype=np.float64),
+            subshape,
+            20,
+            band_rows=band_rows,
+        )
+        assert shape2 == shape
+        assert np.array_equal(got_ds.astype(np.int64), want_ds.astype(np.int64)), band_rows
+        assert np.array_equal(got_out.astype(np.int64), want_out.astype(np.int64)), band_rows

@@ -95,25 +95,34 @@ def strahler_tile_plan(codes, tp, arrs=None, mask=None, max_order=32):
 
     codes = np.asarray(codes)
     nrow, ncol = codes.shape
-    dr_np = d8c._DR_LUT[codes]
-    dc_np = d8c._DC_LUT[codes]
-    valid = (dr_np != 0) | (dc_np != 0) | np.isin(codes, d8c._pv)
-    if mask is not None:
-        valid = valid & np.asarray(mask, bool)
-    dr = jnp.asarray(dr_np)
-    dc = jnp.asarray(dc_np)
-    member = jnp.asarray(valid)
+    # device-resident drain-direction grids, cached per (plan, raster):
+    # re-uploading ~200MB per call dominates the (sub-second) compute on
+    # remote-tunnel runtimes
+    ck = (id(codes), codes.shape, None if mask is None else id(mask))
+    cached = getattr(tp, "_strahler_grids", None)
+    if cached is not None and cached[0] == ck:
+        _, dr, dc, member = cached
+    else:
+        dr_np = d8c._DR_LUT[codes]
+        dc_np = d8c._DC_LUT[codes]
+        valid = (dr_np != 0) | (dc_np != 0) | np.isin(codes, d8c._pv)
+        if mask is not None:
+            valid = valid & np.asarray(mask, bool)
+        dr = jnp.asarray(dr_np)
+        dc = jnp.asarray(dc_np)
+        member = jnp.asarray(valid)
+        tp._strahler_grids = (ck, dr, dc, member)
     order = member.astype(jnp.uint8)
     if arrs is None:
         arrs = tp.arrays()
 
-    # the jitted level step is cached on the plan so repeated calls (and
-    # benchmark steady-state timing) reuse one compilation
-    level = getattr(tp, "_strahler_level_jit", None)
-    if level is None or getattr(tp, "_strahler_level_shape", None) != (
-        nrow,
-        ncol,
-    ):
+    # the whole level loop runs on device inside one jitted while_loop
+    # (early exit via the carried any_gen flag — a host round-trip per
+    # level costs ~1s over remote runtimes); the compiled fn is cached on
+    # the plan so repeated calls reuse one compilation
+    run = getattr(tp, "_strahler_run_jit", None)
+    if run is None or getattr(tp, "_strahler_run_shape", None) != (nrow, ncol):
+
         def level_fn(member, dr, dc, arrs):
             cnt = jnp.zeros((nrow, ncol), jnp.int32)
             for sr in (-1, 0, 1):
@@ -135,16 +144,29 @@ def strahler_tile_plan(codes, tp, arrs=None, mask=None, max_order=32):
             new_member = (accu >= 1) & member
             return new_member, jnp.any(gen)
 
-        level = jax.jit(level_fn)
-        tp._strahler_level_jit = level
-        tp._strahler_level_shape = (nrow, ncol)
+        def run_fn(member, order, dr, dc, arrs, max_order):
+            def cond(state):
+                i, _, order_, go = state
+                return go & (i < max_order)
 
-    for _ in range(1, max_order):
-        member, any_gen = level(member, dr, dc, arrs)
-        if not bool(any_gen):
-            break
-        order = order + member.astype(jnp.uint8)
-    return order
+            def body(state):
+                i, member_, order_, _ = state
+                new_member, any_gen = level_fn(member_, dr, dc, arrs)
+                order_ = jnp.where(
+                    any_gen, order_ + new_member.astype(jnp.uint8), order_
+                )
+                return i + 1, new_member, order_, any_gen
+
+            _, _, order, _ = lax.while_loop(
+                cond, body, (1, member, order, jnp.asarray(True))
+            )
+            return order
+
+        run = jax.jit(run_fn, static_argnames=("max_order",))
+        tp._strahler_run_jit = run
+        tp._strahler_run_shape = (nrow, ncol)
+
+    return run(member, order, dr, dc, arrs, max_order)
 
 
 def classic_order(

@@ -205,7 +205,9 @@ def test_tiled_fill_capped_variants(d8_ref):
     assert np.allclose(got, want, atol=1e-6)
 
 
-@pytest.mark.parametrize("n_devices", [4, 8])
+@pytest.mark.parametrize(
+    "n_devices", [4, pytest.param(8, marks=pytest.mark.slow)]
+)
 def test_tiled_strahler_matches_native(d8_ref_large, n_devices):
     from pyflwdir_tpu import runtime
     from pyflwdir_tpu.ops.plan import build_plan
@@ -247,6 +249,7 @@ def test_tiled_accumulate_coarse_vs_iterate(d8_ref_large, n_devices):
     assert np.allclose(got[valid], want[valid], rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_tiled_accumulate_plan_matches_monolith(d8_ref_large):
     """method='plan': the sharded TilePlan (per-tile VMEM DFS kernels +
     one all_gather of exit records) matches the monolithic accumulation —
@@ -261,6 +264,7 @@ def test_tiled_accumulate_plan_matches_monolith(d8_ref_large):
     assert np.allclose(got[valid], want.reshape(d8_ref_large.shape)[valid])
 
 
+@pytest.mark.slow
 def test_sharded_plan_int_exact(d8_ref_large):
     """Integer inputs through accumulate_sharded are bitwise-exact vs the
     single-device tile plan."""

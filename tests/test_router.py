@@ -92,6 +92,7 @@ def test_accel_accumulate_matches_planned(flw1_idxs=None):
     assert np.allclose(got, want, rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_small_plan_float32_backend_compensated():
     """VERDICT weak #5: with x64 off (the TPU default), the small-plan
     float path must not degrade to a plain float32 prefix sum. The

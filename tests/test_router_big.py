@@ -33,6 +33,7 @@ def big_grid():
     return np.asarray(d8_from_filled(filled))
 
 
+@pytest.mark.slow
 def test_router_big_roundtrip_and_inverse():
     rng = np.random.RandomState(0)
     n = _CHUNK  # G1 = 1
@@ -45,6 +46,7 @@ def test_router_big_roundtrip_and_inverse():
     assert np.array_equal(back, x)
 
 
+@pytest.mark.slow
 def test_router_big_device_apply():
     rng = np.random.RandomState(2)
     n = _CHUNK
@@ -55,6 +57,7 @@ def test_router_big_device_apply():
     assert np.array_equal(y, x[sigma])
 
 
+@pytest.mark.slow
 def test_big_accel_matches_planned(big_grid):
     from pyflwdir_tpu.codecs import d8 as d8c
 

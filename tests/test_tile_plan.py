@@ -32,7 +32,12 @@ def _grid(shape, seed=3, holes=True):
 
 @pytest.mark.parametrize(
     "shape,tile_rows",
-    [((256, 256), 128), ((300, 200), 128), ((128, 128), 128), ((512, 384), 256)],
+    [
+        pytest.param((256, 256), 128, marks=pytest.mark.slow),
+        ((300, 200), 128),
+        pytest.param((128, 128), 128, marks=pytest.mark.slow),
+        pytest.param((512, 384), 256, marks=pytest.mark.slow),
+    ],
 )
 def test_tile_plan_matches_global(shape, tile_rows):
     d8 = _grid(shape)
@@ -59,6 +64,7 @@ def test_tile_plan_matches_global(shape, tile_rows):
     assert np.array_equal(outf[mv], w[mv])
 
 
+@pytest.mark.slow
 def test_tile_plan_router_coarse():
     """Force the slot-mode router coarse level (small threshold)."""
     from pyflwdir_tpu.ops import tile_plan as tpm
@@ -94,6 +100,7 @@ def test_tile_plan_weighted_int():
     assert np.array_equal(out.astype(np.int64), want)
 
 
+@pytest.mark.slow
 def test_tile_plan_float32_backend_accuracy():
     """TPU-dtype parity (VERDICT item 7): with x64 disabled the float
     path runs a float32 per-tile prefix sum + compensated coarse level;
@@ -239,10 +246,10 @@ def test_accumulate_down_transpose_identity():
     w = rng.randint(0, 9, n).astype(np.int64)
     w[~valid] = 0
     got = np.asarray(tp.accumulate_down(jnp.asarray(w))).astype(np.int64)
-    want = np.zeros(n, np.int64)
-    for i in range(n):
+    smp = rng.randint(0, n, 3000)
+    for i in smp:
         if ids[i] < 0:
-            want[i] = w[i]
+            assert got[i] == w[i]
             continue
         j, acc = i, 0
         while True:
@@ -250,8 +257,7 @@ def test_accumulate_down_transpose_identity():
             if ids[j] == j:
                 break
             j = ids[j]
-        want[i] = acc
-    assert np.array_equal(got, want)
+        assert got[i] == acc, i
 
 
 def test_accumulate_down_stream_distance():
@@ -281,7 +287,7 @@ def test_raster_downward_api_parity(monkeypatch):
     same grid exercises both paths)."""
     import pyflwdir_tpu
 
-    d8 = _grid((300, 260), seed=31)
+    d8 = _grid((260, 140), seed=31)
     fd = pyflwdir_tpu.from_array(d8, ftype="d8")
     small = {
         "dist": fd.stream_distance(unit="cell"),
@@ -291,11 +297,11 @@ def test_raster_downward_api_parity(monkeypatch):
     }
     rng = np.random.RandomState(3)
     drain = np.asarray(fd.upstream_area(unit="cell")) > 50
-    small["hand"] = fd.hand(drain, rng.rand(300, 260).astype(np.float32) * 100)
+    small["hand"] = fd.hand(drain, rng.rand(260, 140).astype(np.float32) * 100)
 
     fd2 = pyflwdir_tpu.from_array(d8, ftype="d8")
     monkeypatch.setattr(type(fd2), "_TILE_PLAN_MIN", 0)
-    z = rng.rand(300, 260).astype(np.float32) * 100
+    z = rng.rand(260, 140).astype(np.float32) * 100
     got_dist = fd2.stream_distance(unit="cell")
     assert np.array_equal(got_dist, small["dist"])
     got_distm = fd2.stream_distance(unit="m")

@@ -1669,6 +1669,165 @@ class TilePlan:
             out_shape=jax.ShapeDtypeStruct(self.pshape, abar.dtype),
         )(abar, xd, *[arrs[k] for k in keys])
 
+    def _pass_down_tiles(self, xt, arrs, cfg):
+        """Pass D1 on a (NT', Y, 128) tile stack (shard-local layout)."""
+        keys = self._down_keys("d1")
+        if not _on_tpu():
+            body = lambda x, *tt: _body_down(x, dict(zip(keys, tt)), cfg)
+            return jax.vmap(body)(xt, *[arrs[k] for k in keys])
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        Y = self.Y
+        NTl = xt.shape[0]
+        TB = self._down_block_tiles(keys, NTl, xt.dtype.itemsize)
+
+        def kern(x_ref, *refs):
+            o_ref, p_ref = refs[-2], refs[-1]
+            for b in range(TB):
+                tb = {k: r[b] for k, r in zip(keys, refs[:-2])}
+                r, p = _body_down(x_ref[b], tb, cfg)
+                o_ref[b] = r
+                p_ref[b] = p
+
+        vm = pltpu.VMEM
+        in_specs = [
+            pl.BlockSpec((TB, Y, _S), lambda k: (k, 0, 0), memory_space=vm)
+        ] + [self._down_tab_spec(pl, vm, k, TB) for k in keys]
+        return pl.pallas_call(
+            kern,
+            grid=(NTl // TB,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((TB, Y, _S), lambda k: (k, 0, 0), memory_space=vm),
+                pl.BlockSpec(
+                    (TB, self.E_rows, _S), lambda k: (k, 0, 0), memory_space=vm
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((NTl, Y, _S), xt.dtype),
+                jax.ShapeDtypeStruct((NTl, self.E_rows, _S), xt.dtype),
+            ],
+        )(xt, *[arrs[k] for k in keys])
+
+    def _pass_down_lite_tiles(self, at, xd, arrs, cfg):
+        """Pass D2 on a (NT', Y, 128) tile stack."""
+        keys = self._down_keys("d2")
+        if not _on_tpu():
+            body = lambda a, x, *tt: _body_down_lite(
+                a, x, dict(zip(keys, tt)), cfg
+            )
+            return jax.vmap(body)(at, xd, *[arrs[k] for k in keys])
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        Y = self.Y
+        NTl = at.shape[0]
+        TB = self._down_block_tiles(keys, NTl, at.dtype.itemsize)
+
+        def kern(a_ref, x_ref, *refs):
+            o_ref = refs[-1]
+            for b in range(TB):
+                tb = {k: r[b] for k, r in zip(keys, refs[:-1])}
+                o_ref[b] = _body_down_lite(a_ref[b], x_ref[b], tb, cfg)
+
+        vm = pltpu.VMEM
+        in_specs = [
+            pl.BlockSpec((TB, Y, _S), lambda k: (k, 0, 0), memory_space=vm),
+            pl.BlockSpec(
+                (TB, self.R_rows, _S), lambda k: (k, 0, 0), memory_space=vm
+            ),
+        ] + [self._down_tab_spec(pl, vm, k, TB) for k in keys]
+        return pl.pallas_call(
+            kern,
+            grid=(NTl // TB,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (TB, Y, _S), lambda k: (k, 0, 0), memory_space=vm
+            ),
+            out_shape=jax.ShapeDtypeStruct((NTl, Y, _S), at.dtype),
+        )(at, xd, *[arrs[k] for k in keys])
+
+    def accumulate_down_sharded(self, data, mesh):
+        """Multi-device downward-path sums under ``shard_map`` (SPMD) —
+        the transpose of :meth:`accumulate_sharded`, with the same single
+        collective: each device runs pass D1 on its tile slab, the packed
+        entry-cell values are ``all_gather``-ed, every device solves the
+        small coarse downward redundantly and slices its own per-root
+        continuations for the local pass D2."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        self._ensure_down()
+        axes = tuple(mesh.axis_names)
+        ndev = int(mesh.devices.size)
+        if self.NT % ndev:
+            raise ValueError(
+                f"NT={self.NT} tiles must divide over {ndev} devices"
+            )
+        NTl = self.NT // ndev
+        H, W = self.shape
+        Hp, Wp = self.pshape
+        dtype = data.dtype
+        cfg = self._acc_cfg(dtype)
+        k = self._down["k"]
+
+        xg = jnp.asarray(data).reshape(H, W).astype(cfg["acc"])
+        if (Hp, Wp) != (H, W):
+            xg = jnp.pad(xg, ((0, Hp - H), (0, Wp - W)))
+        xt = self._tiles_cpu(xg)
+
+        darrs = self.down_arrays()
+        tile_keys = sorted(
+            set(self._down_keys("d1") + self._down_keys("d2"))
+        )
+        tabs = {kk: darrs[kk] for kk in tile_keys}
+        ts = P(axes)
+
+        def body(xt_l, tabs_l, cd):
+            abar_l, pk_l = self._pass_down_tiles(xt_l, tabs_l, cfg)
+            if not (self.has_entries and k > 0):
+                return abar_l
+            pk_g = pk_l
+            for ax in reversed(axes):  # minor axis first: row-major order
+                pk_g = lax.all_gather(pk_g, ax, axis=0, tiled=True)
+            pkf = pk_g.reshape(-1)
+            wmap = cd["wmap"]
+            Wn = jnp.where(
+                wmap >= 0,
+                jnp.take(pkf, jnp.clip(wmap, 0, pkf.shape[0] - 1)),
+                jnp.zeros((), pkf.dtype),
+            )
+            A = self._coarse_down_apply(cd, Wn, k)
+            e2n = cd["e2n"]
+            Aslot = jnp.where(
+                e2n >= 0,
+                jnp.take(A, jnp.clip(e2n, 0, A.shape[0] - 1)),
+                jnp.zeros((), A.dtype),
+            )
+            A3 = Aslot.reshape(self.NT, self.R_pad)
+            nxt = jnp.concatenate(
+                [A3[:, 1:], jnp.zeros((self.NT, 1), A3.dtype)], axis=1
+            )
+            xd = (A3 - nxt).reshape(self.NT, self.R_rows, _S)
+            idx = lax.axis_index(axes[0])
+            for ax in axes[1:]:
+                idx = idx * lax.axis_size(ax) + lax.axis_index(ax)
+            xd_l = lax.dynamic_slice_in_dim(xd, idx * NTl, NTl, 0)
+            return self._pass_down_lite_tiles(abar_l, xd_l, tabs_l, cfg)
+
+        out_t = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(ts, {kk: ts for kk in tabs}, P()),
+            out_specs=ts,
+            check_rep=False,
+        )(xt, tabs, darrs["cd"])
+        out = self._untile_cpu(out_t)
+        if (Hp, Wp) != (H, W):
+            out = out[:H, :W]
+        return out.reshape(-1).astype(dtype)
+
     @staticmethod
     def _coarse_down_apply(cd, W, k):
         """Downward anc-sum on the coarse forest (XLA 1-D delta solve):

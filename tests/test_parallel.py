@@ -280,3 +280,29 @@ def test_sharded_plan_int_exact(d8_ref_large):
     got = np.asarray(tp.accumulate_sharded(jnp.asarray(w.ravel()), mesh))
     want = np.asarray(tp.accumulate(jnp.asarray(w.ravel())))
     assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize(
+    "n_devices", [2, pytest.param(8, marks=pytest.mark.slow)]
+)
+def test_sharded_down_matches_single(d8_ref_large, n_devices):
+    """accumulate_down_sharded bitwise-matches the single-device downward
+    sweep for integer inputs (one all_gather of packed entry values)."""
+    from pyflwdir_tpu.codecs import d8 as d8c
+    from pyflwdir_tpu.ops.tile_plan import build_tile_plan
+
+    mesh = make_mesh(n_devices)
+    d8 = np.asarray(d8_ref_large)
+    pr = (-d8.shape[0]) % (128 * n_devices)
+    if pr:
+        d8 = np.pad(d8, ((0, pr), (0, 0)), constant_values=247)
+    pc = (-d8.shape[1]) % 128
+    if pc:
+        d8 = np.pad(d8, ((0, 0), (0, pc)), constant_values=247)
+    ids, pit, nv = d8c.from_array(d8)
+    tp = build_tile_plan(ids, d8.shape)
+    w = (np.arange(ids.size) % 7 + 1).astype(np.int32)
+    w[ids < 0] = 0
+    want = np.asarray(tp.accumulate_down(jnp.asarray(w)))
+    got = np.asarray(tp.accumulate_down_sharded(jnp.asarray(w), mesh))
+    assert np.array_equal(got, want)

@@ -34,13 +34,14 @@ def main():
 
     # 1. trace flow paths downstream from a few headwater seeds
     xy = ([8.92, 8.2, 7.3], [50.28, 49.1, 47.4])
-    paths, dists = flw.path(xy=xy, unit="km")
-    print(f"  {len(paths)} flow paths, lengths {[round(d, 1) for d in dists]} km")
+    paths, dists = flw.path(xy=xy, unit="m")
+    print(f"  {len(paths)} flow paths, lengths "
+          f"{[round(d / 1e3, 1) for d in dists]} km")
 
     # 2. snap the same seeds to the stream network (strahler >= 7)
-    idxs_snap, snap_dist = flw.snap(xy=xy, mask=strahler >= 7, unit="km")
+    idxs_snap, snap_dist = flw.snap(xy=xy, mask=strahler >= 7, unit="m")
     print(f"  snapped to order>=7 streams within "
-          f"{[round(d, 1) for d in np.atleast_1d(snap_dist)]} km")
+          f"{[round(d / 1e3, 1) for d in np.atleast_1d(snap_dist)]} km")
 
     # 3. downstream fill: propagate basin-outlet ids upstream, then carry
     # uparea values downstream of the snapped points

@@ -326,7 +326,15 @@ def accumulate_planned_fast(plan: DfsPlan, data: jnp.ndarray) -> jnp.ndarray:
             [cb, jnp.concatenate([cb[1:], cb[:1]], axis=0)], axis=1
         )
         g_near = jnp.einsum(
-            "bj,bij->bi", cwin, onehot, preferred_element_type=cwin.dtype
+            "bj,bij->bi",
+            cwin,
+            onehot,
+            preferred_element_type=cwin.dtype,
+            # HIGHEST is required for exactness on TPU: the MXU's default
+            # bf16 pass rounds the *selected prefix values* (magnitudes up
+            # to the global running total) to 8-bit mantissas — measured
+            # errors up to 1024 cells on the Rhine before this flag
+            precision=lax.Precision.HIGHEST,
         ).ravel()
         g = jnp.where(f["near"], g_near, 0)
         return g.at[f["far_k"]].set(c[f["far_e"]], mode="drop")

@@ -14,6 +14,7 @@ import pprint
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from . import arithmetics, dem, rivers, streams
@@ -141,8 +142,19 @@ class Flwdir(object):
             self._cached["accel"] = build_accel_plan(self._idxs_ds, self._plan)
         aplan = self._cached["accel"]
         is_int = jnp.issubdtype(data.dtype, jnp.integer) or data.dtype == jnp.bool_
-        # the single-chunk fused kernel is float32-only; floats keep full
-        # accuracy via the compensated big plan or the widest-dtype path
+        # the single-chunk fused kernel sums in float32 — exact for
+        # integer totals below 2^24 only (unit counts always are; big
+        # weighted ints fall back to the exact widest-dtype path)
+        if (
+            is_int
+            and not isinstance(aplan, BigAccelPlan)
+            and not isinstance(data, jax.core.Tracer)
+            and data.size
+            and int(jnp.max(jnp.abs(data))) * data.size >= 1 << 24
+        ):
+            from .ops.plan import accumulate_planned
+
+            return accumulate_planned(self._plan, data)
         if aplan is not None and (is_int or isinstance(aplan, BigAccelPlan)):
             return aplan.accumulate(data)
         from .ops.plan import accumulate_planned_fast

@@ -912,6 +912,36 @@ class FlwdirRaster(Flwdir):
         )
         return elv_out.reshape(self.shape).astype(np.asarray(elevtn).dtype)
 
+    def fillnodata(self, data, nodata, direction="down", how="max"):
+        """Fill nodata cells from the nearest valid up-/downstream value.
+
+        Parity: reference flwdir.py:360-392. Above the tile-plan
+        threshold, ``direction="up"`` (fill from the first valid value
+        *downstream*) runs as one cut-graph root broadcast on the chip
+        (:meth:`TilePlan.accumulate_down`)."""
+        if str(direction).lower() == "up" and self.size > self._TILE_PLAN_MIN:
+            dflat = np.asarray(self._check_data(data, "data"))
+            has = dflat != nodata
+            valid = self._idxs_ds != self._mv
+            tp = self._tp_down(cut=has & valid)
+            if tp is not None:
+                ar = np.arange(self.size, dtype=np.int64)
+                is_root = ((has) | (self._idxs_ds.astype(np.int64) == ar)) & valid
+                w = np.where(
+                    is_root & has, dflat.astype(np.float32), 0
+                ).astype(np.float32)
+                a = np.asarray(tp.accumulate_down(jnp.asarray(w)))
+                ok = np.asarray(
+                    tp.accumulate_down(
+                        jnp.asarray((is_root & has).astype(np.int32))
+                    )
+                ) > 0
+                out = np.where(
+                    valid & (dflat == nodata) & ok, a, dflat
+                ).astype(np.asarray(data).dtype)
+                return out.reshape(np.asarray(data).shape)
+        return super().fillnodata(data, nodata, direction=direction, how=how)
+
     def hand(self, drain, elevtn):
         """Height above nearest drain. Parity: pyflwdir.py:1485-1511.
 

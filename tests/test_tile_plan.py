@@ -315,3 +315,21 @@ def test_raster_downward_api_parity(monkeypatch):
     v = h_small != -9999.0
     assert np.array_equal(v, h_big != -9999.0)
     assert np.allclose(h_small[v], h_big[v], atol=1e-3)
+
+
+def test_raster_fillnodata_up_downward(monkeypatch):
+    """fillnodata(direction='up') through the downward engine equals the
+    pointer-doubling graph kernel."""
+    import pyflwdir_tpu
+
+    d8 = _grid((260, 140), seed=17)
+    fd = pyflwdir_tpu.from_array(d8, ftype="d8")
+    rng = np.random.RandomState(2)
+    data = np.where(
+        rng.rand(260, 140) < 0.1, rng.rand(260, 140).astype(np.float32), -9999.0
+    ).astype(np.float32)
+    want = fd.fillnodata(data, -9999.0, direction="up")
+    fd2 = pyflwdir_tpu.from_array(d8, ftype="d8")
+    monkeypatch.setattr(type(fd2), "_TILE_PLAN_MIN", 0)
+    got = fd2.fillnodata(data, -9999.0, direction="up")
+    assert np.allclose(got, want, atol=1e-5)

@@ -22,15 +22,27 @@ decomposition whose global data movement is two streaming passes:
 
 Per-cell HBM traffic is ~2 reads + 1 write of data plus ~15 bytes of int8
 plan tables — an order of magnitude below the global routers — and both
-passes are single fused Pallas kernels on TPU (grid over tiles, all
-routing/gather work in VMEM).  Off TPU the same bodies run vmapped over
-tiles through XLA.
+passes are single fused Pallas kernels on TPU (grid over power-of-two
+tile blocks, all routing/gather work in VMEM).  Off TPU the same bodies
+run vmapped over tiles through XLA.
 
-Numerics: integer inputs accumulate exactly in int32 (far/exit/entry
-gathers go through MXU one-hot selections on exact signed-16-bit planes);
-float inputs run in float32 with per-tile O(eps * tile_total) error plus a
-compensated coarse level — tighter than a single global float32 prefix
-sum.
+All value movement is bijective routing, prefix sums and lane gathers on
+the VPU: exits, entries and far-interval deliveries each ride dedicated
+5-stage routers (the coarse level pre-sums duplicate entry inflows at
+per-cell entry nodes so entry slots stay unique), and the rare
+duplicate-depth overflow falls back to a dense group expansion (packed
+distinct ends + a static row-pair one-hot, the only MXU use — on exact
+signed-16-bit planes with HIGHEST precision). Integer inputs accumulate
+exactly in int32; float inputs run in float32 with per-tile
+O(eps * tile_total) error plus a compensated coarse level — tighter than
+a single global float32 prefix sum.
+
+:meth:`TilePlan.accumulate_down` is the exact transpose of
+:meth:`TilePlan.accumulate` (same routers, transposed selection stages,
+suffix sums): one primitive for downstream-path sums, root broadcasts
+(basins, HAND, fillnodata-up) and stream distances at the same
+two-streaming-pass cost; both operators also run sharded under
+``shard_map`` with a single ``all_gather`` per sweep.
 
 Semantics match :func:`ops.plan.accumulate_planned` (reference sweep
 ``accu[ds[i]] += accu[i]`` over the topological order, streams.py:37-41)

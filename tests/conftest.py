@@ -14,11 +14,18 @@ import jax
 # jax may already be imported (axon sitecustomize) but backends initialize
 # lazily, so pinning the CPU platform + virtual 8-device mesh here still
 # takes effect as long as no computation ran yet.
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if os.environ.get("PYFLWDIR_TPU_TESTS"):
+    # opt-in on-chip audit (tests/test_tpu_onchip.py): keep the real
+    # accelerator backend and its default float32 numerics
+    pass
+else:
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 import pytest

@@ -268,11 +268,9 @@ void* tp_phase1(const int64_t* ids, int64_t Hp, int64_t Wp, int64_t th,
       if (d != u) sc.size[d] += sc.size[u];
     }
     // root interval ends (roots were pushed in slot order)
-    for (int32_t rt = 0, ri = 0; rt < T; ++rt) {
-      if (sc.lds[rt] == rt && sc.slot[rt] >= 0) {
-        (void)ri;
+    for (int32_t rt = 0; rt < T; ++rt) {
+      if (sc.lds[rt] == rt && sc.slot[rt] >= 0)
         tl.root_end.push_back(sc.slot[rt] + sc.size[rt] - 1);
-      }
     }
     // sig + per-cell outputs + masks
     int32_t off = k;

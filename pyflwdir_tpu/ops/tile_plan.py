@@ -815,6 +815,7 @@ class TilePlan:
         _ck("coarse graph")
         self._coarse_meta = {"in_slot": in_slot, "out_slot": out_slot,
                              "m": int(m), "D": int(D)}
+        self._coarse_ds_np = coarse_ds
         dfs_c = build_plan(coarse_ds, fast=False)
         self._coarse_dfs = dfs_c
         if max(self.n_exit_flat, NT * max(E_pad, 1)) >= _COARSE_ROUTER_MIN:
@@ -1430,6 +1431,12 @@ class TilePlan:
         routers, and the static coarse-downward index arrays."""
         if self._down is not None:
             return
+        if self._sig_np is None:
+            raise RuntimeError(
+                "plan was loaded without downward tables (save_tile_plan"
+                " down=False) and the build intermediates are not kept;"
+                " re-save with down=True or rebuild from idxs_ds"
+            )
         NT, th = self.NT, self.Y
         T = th * _S
         tabs = self._tabs_np
@@ -1906,6 +1913,21 @@ class TilePlan:
         if (Hp, Wp) != (H, W):
             out = out[:H, :W]
         return out.reshape(-1).astype(dtype)
+
+
+    # -- persistence (ops/plan_io.py) -----------------------------------
+    def save(self, path, down=True):
+        """Serialize to a directory (see :func:`ops.plan_io.save_tile_plan`)."""
+        from .plan_io import save_tile_plan
+
+        return save_tile_plan(self, path, down=down)
+
+    @staticmethod
+    def load(path, mmap=True):
+        """Load a saved plan (see :func:`ops.plan_io.load_tile_plan`)."""
+        from .plan_io import load_tile_plan
+
+        return load_tile_plan(path, mmap=mmap)
 
 
 def build_tile_plan(idxs_ds_np, shape, tile_rows=128):

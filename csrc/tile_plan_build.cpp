@@ -452,6 +452,102 @@ void tp_fwd_tables(const int32_t* sig, int64_t NT, int64_t Y, int64_t G,
   });
 }
 
+// Per-tile construction of the downward (transpose) plan's sort/boundary
+// structures (ops/tile_plan.py::_ensure_down): interval ends per preorder
+// slot, the stable (end, slot) counting sort -> sig_es, and the per-group
+// boundary bijections sig_dea / sig_deb (+ de_sel / de_b0 masks). Replaces
+// a whole-grid int64 argsort + ~8 O(NT*T) numpy passes with one threaded
+// cache-resident pass; padding of the partial bijections matches
+// tp_pad_bijection (free dsts paired with free srcs in index order).
+void tp_down_phase(const int8_t* near_sel, const int8_t* idx_near,
+                   const int8_t* sel_next, const int32_t* sig,
+                   const int64_t* cnt_far, const int32_t* far_slot,
+                   const int32_t* far_end, int64_t NT, int64_t T,
+                   int32_t* sig_es, int32_t* sig_dea, int32_t* sig_deb,
+                   int8_t* de_sel, int8_t* de_b0) {
+  std::vector<int64_t> foff(NT + 1, 0);
+  for (int64_t t = 0; t < NT; ++t) foff[t + 1] = foff[t] + cnt_far[t];
+
+  struct Scratch {
+    std::vector<int32_t> ends, order, cnt;
+    std::vector<uint8_t> ksrc;
+  };
+  std::vector<Scratch> scratch(n_threads());
+  parallel_tiles(NT, [&](int64_t t, int w) {
+    Scratch& sc = scratch[w];
+    if ((size_t)T > sc.ends.size()) {
+      sc.ends.resize(T);
+      sc.order.resize(T);
+      sc.cnt.resize(T + 2);
+      sc.ksrc.resize(T);
+    }
+    const int8_t* ns = near_sel + t * T;
+    const int8_t* in = idx_near + t * T;
+    const int8_t* sn = sel_next + t * T;
+    // interval end per slot (T = off-tree sentinel, sorts to the tail)
+    for (int64_t s = 0; s < T; ++s) {
+      if (ns[s]) {
+        const int32_t d =
+            (int32_t)(uint8_t)in[s] + (sn[s] ? S : 0) - (int32_t)(s & (S - 1));
+        sc.ends[s] = (int32_t)s + d;
+      } else {
+        sc.ends[s] = (int32_t)T;
+      }
+    }
+    for (int64_t i = foff[t]; i < foff[t + 1]; ++i)
+      sc.ends[far_slot[i]] = far_end[i];
+    // stable counting sort by (end, slot)
+    std::fill(sc.cnt.begin(), sc.cnt.begin() + T + 2, 0);
+    for (int64_t s = 0; s < T; ++s) sc.cnt[sc.ends[s] + 1]++;
+    for (int64_t k = 0; k <= T; ++k) sc.cnt[k + 1] += sc.cnt[k];
+    for (int64_t s = 0; s < T; ++s) sc.order[sc.cnt[sc.ends[s]]++] = (int32_t)s;
+    const int32_t* sg = sig + t * T;
+    int32_t* es = sig_es + t * T;
+    for (int64_t q = 0; q < T; ++q) es[q] = sg[sc.order[q]];
+    // group boundaries among on slots (runs of equal end) -> partial
+    // bijections dea (end <- group-last sorted pos) and deb (end <-
+    // pos before group start), plus the end-slot masks
+    int32_t* da = sig_dea + t * T;
+    int32_t* db = sig_deb + t * T;
+    int8_t* dsel = de_sel + t * T;
+    int8_t* db0 = de_b0 + t * T;
+    for (int64_t l = 0; l < T; ++l) {
+      da[l] = -1;
+      db[l] = -1;
+      dsel[l] = 0;
+      db0[l] = 0;
+    }
+    int64_t q = 0;
+    while (q < T) {
+      const int32_t e = sc.ends[sc.order[q]];
+      if (e >= (int32_t)T) break;  // off-tree tail
+      int64_t q1 = q;
+      while (q1 + 1 < T && sc.ends[sc.order[q1 + 1]] == e) ++q1;
+      da[e] = (int32_t)q1;
+      dsel[e] = 1;
+      if (q == 0) {
+        db0[e] = 1;
+      } else {
+        db[e] = (int32_t)(q - 1);
+      }
+      q = q1 + 1;
+    }
+    // pad both to full bijections (tp_pad_bijection's pairing rule)
+    for (int pass = 0; pass < 2; ++pass) {
+      int32_t* sgm = pass == 0 ? da : db;
+      std::fill(sc.ksrc.begin(), sc.ksrc.begin() + T, 0);
+      for (int64_t l = 0; l < T; ++l)
+        if (sgm[l] >= 0) sc.ksrc[sgm[l]] = 1;
+      int64_t s = 0;
+      for (int64_t l = 0; l < T; ++l) {
+        if (sgm[l] >= 0) continue;
+        while (sc.ksrc[s]) ++s;
+        sgm[l] = (int32_t)s++;
+      }
+    }
+  });
+}
+
 // Row-wise inverse of stacked permutation tables (rows, S): out[r, t[r,j]] = j
 void tp_inv_rows(const int8_t* t, int64_t rows, int64_t s, int8_t* out) {
   const int64_t blk = 1024;  // rows per work item (row work is tiny)

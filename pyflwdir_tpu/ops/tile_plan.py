@@ -1437,62 +1437,91 @@ class TilePlan:
                 " down=False) and the build intermediates are not kept;"
                 " re-save with down=True or rebuild from idxs_ds"
             )
+        import os
+        import time as _time
+
+        _dbg = bool(os.environ.get("PYFLWDIR_TILE_PLAN_DEBUG"))
+        _tk = [_time.time()]
+
+        def _ck(label):
+            if _dbg:
+                t = _time.time()
+                print(f"[tile_plan.down] {label}: {t - _tk[0]:.1f}s", flush=True)
+                _tk[0] = t
+
         NT, th = self.NT, self.Y
         T = th * _S
         tabs = self._tabs_np
-
-        # per-slot interval ends from the near tables + far lists
-        s = np.arange(T, dtype=np.int64)
-        lane = s % _S
-        ns = tabs["near_sel"].reshape(NT, T).astype(bool)
-        idxn = tabs["idx_near"].reshape(NT, T).astype(np.int64)
-        seln = tabs["sel_next"].reshape(NT, T).astype(np.int64)
-        ends = np.full((NT, T), -1, dtype=np.int64)
-        d_near = idxn + _S * seln - lane[None, :]
-        ends[ns] = (s[None, :] + d_near)[ns]
         cnt_far, far_slot, far_end = self._far_np
-        if far_slot.size:
-            ft = np.repeat(np.arange(NT, dtype=np.int64), cnt_far)
-            ends[ft, far_slot.astype(np.int64)] = far_end.astype(np.int64)
-        on = ends >= 0
 
-        # stable (tile, end, slot) order; off slots at each tile's tail
-        ekey = np.where(on, ends, T)
-        tile_col = np.arange(NT, dtype=np.int64)[:, None]
-        key = (tile_col * (T + 1) + ekey) * T + s[None, :]
-        order = np.argsort(key.ravel(), kind="stable")
-        ot = order // T
-        oslot = order % T
-        sig_es = self._sig_np[ot, oslot].reshape(NT, T)
+        nat = _native("tile_down_phase")
+        if nat is not None:
+            # one threaded cache-resident pass per tile (ends, stable
+            # counting sort by (end, slot), group boundaries, padded
+            # boundary bijections) — csrc/tile_plan_build.cpp
+            sig_es, sig_dea, sig_deb, de_sel, de_b0 = nat(
+                tabs["near_sel"], tabs["idx_near"], tabs["sel_next"],
+                self._sig_np, cnt_far, far_slot, far_end, NT, T,
+            )
+            _ck("native down phase")
+        else:
+            # per-slot interval ends from the near tables + far lists
+            s = np.arange(T, dtype=np.int64)
+            lane = s % _S
+            ns = tabs["near_sel"].reshape(NT, T).astype(bool)
+            idxn = tabs["idx_near"].reshape(NT, T).astype(np.int64)
+            seln = tabs["sel_next"].reshape(NT, T).astype(np.int64)
+            ends = np.full((NT, T), -1, dtype=np.int64)
+            d_near = idxn + _S * seln - lane[None, :]
+            ends[ns] = (s[None, :] + d_near)[ns]
+            if far_slot.size:
+                ft = np.repeat(np.arange(NT, dtype=np.int64), cnt_far)
+                ends[ft, far_slot.astype(np.int64)] = far_end.astype(np.int64)
+            on = ends >= 0
+            _ck("ends")
 
-        # group boundaries among on slots (per tile, per distinct end)
-        ek_sorted = ekey[ot, oslot]
-        on_sorted = ek_sorted < T
-        q = np.arange(NT * T) % T
-        prev_diff = np.empty(NT * T, dtype=bool)
-        prev_diff[0] = True
-        prev_diff[1:] = (ek_sorted[1:] != ek_sorted[:-1]) | (q[1:] == 0)
-        nxt_diff = np.empty(NT * T, dtype=bool)
-        nxt_diff[-1] = True
-        nxt_diff[:-1] = prev_diff[1:] | (~on_sorted[1:])
-        gstart = np.nonzero(on_sorted & prev_diff)[0]
-        glast = np.nonzero(on_sorted & nxt_diff)[0]
-        gtile = gstart // T
-        gend = ek_sorted[gstart]
-        src_a = glast % T
-        src_b = gstart % T - 1
-        b0 = src_b < 0
+            # stable (tile, end, slot) order; off slots at each tile's tail
+            ekey = np.where(on, ends, T)
+            tile_col = np.arange(NT, dtype=np.int64)[:, None]
+            key = (tile_col * (T + 1) + ekey) * T + s[None, :]
+            order = np.argsort(key.ravel(), kind="stable")
+            ot = order // T
+            oslot = order % T
+            sig_es = self._sig_np[ot, oslot].reshape(NT, T)
+            _ck("end-sort")
+
+            # group boundaries among on slots (per tile, per distinct end)
+            ek_sorted = ekey[ot, oslot]
+            on_sorted = ek_sorted < T
+            q = np.arange(NT * T) % T
+            prev_diff = np.empty(NT * T, dtype=bool)
+            prev_diff[0] = True
+            prev_diff[1:] = (ek_sorted[1:] != ek_sorted[:-1]) | (q[1:] == 0)
+            nxt_diff = np.empty(NT * T, dtype=bool)
+            nxt_diff[-1] = True
+            nxt_diff[:-1] = prev_diff[1:] | (~on_sorted[1:])
+            gstart = np.nonzero(on_sorted & prev_diff)[0]
+            glast = np.nonzero(on_sorted & nxt_diff)[0]
+            gtile = gstart // T
+            gend = ek_sorted[gstart]
+            src_a = glast % T
+            src_b = gstart % T - 1
+            b0 = src_b < 0
+            sig_dea = _pad_bij(gtile, gend, src_a, NT, T)
+            sig_deb = _pad_bij(gtile[~b0], gend[~b0], src_b[~b0], NT, T)
+            de_sel = np.zeros(NT * T, dtype=np.int8)
+            de_sel[gtile * T + gend] = 1
+            de_b0 = np.zeros(NT * T, dtype=np.int8)
+            de_b0[gtile[b0] * T + gend[b0]] = 1
+            _ck("group boundaries")
 
         dtabs = {}
         dtabs.update(self._stacked_fwd_tables(sig_es, th, self.G, "es"))
-        sig_dea = _pad_bij(gtile, gend, src_a, NT, T)
+        _ck("es tables")
         dtabs.update(self._stacked_fwd_tables(sig_dea, th, self.G, "dea"))
-        sig_deb = _pad_bij(gtile[~b0], gend[~b0], src_b[~b0], NT, T)
+        _ck("dea tables")
         dtabs.update(self._stacked_fwd_tables(sig_deb, th, self.G, "deb"))
-        de_sel = np.zeros(NT * T, dtype=np.int8)
-        de_sel[gtile * T + gend] = 1
-        de_b0 = np.zeros(NT * T, dtype=np.int8)
-        de_b0[gtile[b0] * T + gend[b0]] = 1
+        _ck("deb tables")
         dtabs["de_sel"] = de_sel.reshape(NT, th, _S)
         dtabs["de_b0"] = de_b0.reshape(NT, th, _S)
         cnt_r, root_end = self._root_np
@@ -1500,6 +1529,7 @@ class TilePlan:
         re_sel = np.zeros(NT * T, dtype=np.int8)
         re_sel[rt * T + root_end.astype(np.int64)] = 1
         dtabs["re_sel"] = re_sel.reshape(NT, th, _S)
+        _ck("masks")
 
         # inverse exit/entry routers (palindromic schedule: per-row
         # inversion of the forward tables, no extra coloring)
@@ -1514,6 +1544,7 @@ class TilePlan:
             if self.G > 1:
                 dtabs[f"{inv}_ig"] = _inv_rows(tabs[f"{fwd}_ig"])
 
+        _ck("inverse routers")
         # static coarse-downward arrays (XLA 1-D scatter/cumsum solve)
         dfs = self._coarse_dfs
         k = int(dfs.n_tree)
@@ -1538,6 +1569,7 @@ class TilePlan:
             "k": k,
         }
         self._down_dev = None
+        _ck("coarse-down arrays")
 
     def _down_keys(self, which):
         def igs(prefixes):

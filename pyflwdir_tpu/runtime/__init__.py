@@ -642,6 +642,41 @@ if _lib is not None:
     ]
     _lib.tp_inv_rows.restype = None
     _lib.tp_inv_rows.argtypes = [_I8P, ctypes.c_int64, ctypes.c_int64, _I8P]
+    _lib.tp_down_phase.restype = None
+    _lib.tp_down_phase.argtypes = [
+        _I8P, _I8P, _I8P, _I32P, _I64P, _I32P, _I32P,
+        ctypes.c_int64, ctypes.c_int64,
+        _I32P, _I32P, _I32P, _I8P, _I8P,
+    ]
+
+    def tile_down_phase(near_sel, idx_near, sel_next, sig, cnt_far,
+                        far_slot, far_end, NT, T):
+        """Per-tile downward-plan sort/boundary structures
+        (csrc/tile_plan_build.cpp::tp_down_phase): returns
+        (sig_es, sig_dea, sig_deb, de_sel, de_b0)."""
+        NT, T = int(NT), int(T)
+        ns = np.ascontiguousarray(near_sel, np.int8).reshape(-1)
+        idn = np.ascontiguousarray(idx_near, np.int8).reshape(-1)
+        sn = np.ascontiguousarray(sel_next, np.int8).reshape(-1)
+        sig = np.ascontiguousarray(sig, np.int32)
+        cnt_far = np.ascontiguousarray(cnt_far, np.int64)
+        far_slot = np.ascontiguousarray(far_slot, np.int32)
+        far_end = np.ascontiguousarray(far_end, np.int32)
+        sig_es = np.empty((NT, T), np.int32)
+        sig_dea = np.empty((NT, T), np.int32)
+        sig_deb = np.empty((NT, T), np.int32)
+        de_sel = np.empty(NT * T, np.int8)
+        de_b0 = np.empty(NT * T, np.int8)
+        _lib.tp_down_phase(
+            ns.ctypes.data_as(_I8P), idn.ctypes.data_as(_I8P),
+            sn.ctypes.data_as(_I8P), sig.ctypes.data_as(_I32P),
+            cnt_far.ctypes.data_as(_I64P), far_slot.ctypes.data_as(_I32P),
+            far_end.ctypes.data_as(_I32P), NT, T,
+            sig_es.ctypes.data_as(_I32P), sig_dea.ctypes.data_as(_I32P),
+            sig_deb.ctypes.data_as(_I32P), de_sel.ctypes.data_as(_I8P),
+            de_b0.ctypes.data_as(_I8P),
+        )
+        return sig_es, sig_dea, sig_deb, de_sel, de_b0
 
     def tile_plan_phase1(ids_p, Hp, Wp, th):
         """Per-tile forest DFS and table fill for the TilePlan build

@@ -450,3 +450,31 @@ def test_raster_fillnodata_up_bigint_exact(monkeypatch):
     got = fd2.fillnodata(data, 0, direction="up")
     assert got.dtype == want.dtype
     assert np.array_equal(got, want)
+
+
+def test_native_down_phase_matches_numpy():
+    """The native per-tile downward phase (tp_down_phase) produces the
+    same downward tables (bitwise) as the whole-grid numpy fallback."""
+    from pyflwdir_tpu.ops import tile_plan as tpm
+
+    if tpm._native("tile_down_phase") is None:
+        pytest.skip("native library not built")
+    d8 = _grid((300, 260), seed=47)
+    ids, _, _ = d8c.from_array(d8)
+    tp_nat = build_tile_plan(ids, d8.shape)
+    tp_nat._ensure_down()
+
+    orig = tpm._native
+    tpm._native = (
+        lambda name: None if name == "tile_down_phase" else orig(name)
+    )
+    try:
+        tp_np = build_tile_plan(ids, d8.shape)
+        tp_np._ensure_down()
+    finally:
+        tpm._native = orig
+    assert set(tp_nat._down["tabs"]) == set(tp_np._down["tabs"])
+    for k in tp_nat._down["tabs"]:
+        assert np.array_equal(
+            tp_nat._down["tabs"][k], tp_np._down["tabs"][k]
+        ), k

@@ -98,10 +98,15 @@ def strahler_tile_plan(codes, tp, arrs=None, mask=None, max_order=32):
     # device-resident drain-direction grids, cached per (plan, raster):
     # re-uploading ~200MB per call dominates the (sub-second) compute on
     # remote-tunnel runtimes
-    ck = (id(codes), codes.shape, None if mask is None else id(mask))
+    # identity keys hold strong references to the keyed arrays, so their
+    # ids cannot be recycled by a different array (ADVICE r4)
     cached = getattr(tp, "_strahler_grids", None)
-    if cached is not None and cached[0] == ck:
-        _, dr, dc, member = cached
+    if (
+        cached is not None
+        and cached[0] is codes
+        and (cached[1] is mask or (cached[1] is None and mask is None))
+    ):
+        _, _, dr, dc, member = cached
     else:
         dr_np = d8c._DR_LUT[codes]
         dc_np = d8c._DC_LUT[codes]
@@ -111,7 +116,7 @@ def strahler_tile_plan(codes, tp, arrs=None, mask=None, max_order=32):
         dr = jnp.asarray(dr_np)
         dc = jnp.asarray(dc_np)
         member = jnp.asarray(valid)
-        tp._strahler_grids = (ck, dr, dc, member)
+        tp._strahler_grids = (codes, mask, dr, dc, member)
     order = member.astype(jnp.uint8)
     if arrs is None:
         arrs = tp.arrays()

@@ -642,11 +642,15 @@ def _ihu_construct_banded(
 
     Representative cells and outlet traces are confined to their own
     lowres cell, so bands need no halo; the outlet->outlet nextidx walks
-    cross at most the D8 ring for valid connections, so a ``halo_rows``
-    lowres-ring suffices — a walk that escapes the halo could only end in
-    a non-D8 cell and takes the same flagged-for-repair fallback the
-    monolithic walk would. ``subidxs_ds``/``subuparea`` may be memmaps:
-    only one band (+halo) is resident at a time.
+    *end* at most one lowres ring away for valid connections, so a
+    ``halo_rows`` lowres-ring covers them in almost all geometries. A
+    highres path can however *detour* beyond the halo and still return
+    to a valid in-D8 connection; such walks are conservatively flagged
+    for the repair rounds (which may resolve them differently than the
+    monolithic :func:`ihu`). Escaped walks are counted and warned about
+    so callers can raise ``halo_rows`` when they occur.
+    ``subidxs_ds``/``subuparea`` may be memmaps: only one band (+halo)
+    is resident at a time.
     """
     subnrow, subncol = subshape
     nrow, ncol = shape
@@ -692,6 +696,7 @@ def _ihu_construct_banded(
     # pass 2: outlet -> next outlet walks with a lowres-ring halo
     idxs_ds = np.full(nlow, mv, dtype=dtype)
     fix_all = []
+    n_escaped = 0
     for b0 in range(0, nrow, band_rows):
         b1 = min(b0 + band_rows, nrow)
         h0 = max(b0 - halo_rows, 0) * cellsize
@@ -724,7 +729,9 @@ def _ihu_construct_banded(
             take = unset & ea & ~stop
             ea_first[ai[take]] = sub1[take]
             si = ai[stop]
-            # an escaped walk could only end >1 lowres ring away: not-D8
+            n_escaped += int(escaped.sum())
+            # escaped walks are flagged for repair (a detour past the halo
+            # could still return in-D8; see docstring)
             d8ok = in_d8(idx0[si], low1[stop], ncol) & ~escaped[stop]
             res = np.where(d8ok, sub1[stop], ea_first[si])
             fix[si] |= ~d8ok
@@ -739,6 +746,14 @@ def _ihu_construct_banded(
         idxs_ds[idx0] = vals
         fix_all.append(idx0[fix])
 
+    if n_escaped:
+        import warnings
+
+        warnings.warn(
+            f"{n_escaped} outlet walk(s) left the {halo_rows}-row halo and"
+            " were flagged for repair; raise halo_rows to match the"
+            " monolithic IHU on these cells"
+        )
     idxs_fix = (
         np.concatenate(fix_all) if fix_all else np.array([], dtype=dtype)
     )

@@ -99,6 +99,13 @@ def save_tile_plan(tp, path, down=True):
         for name in meta["coarse_routers"]:
             for i, st in enumerate(rt[name]):
                 _save_arr(path, "coarse", f"{name}_{i}", st)
+    elif type(tp.coarse).__name__ == "_CoarseRouterSmall":
+        rt = tp.coarse.router_tables()
+        meta["coarse_G"] = int(rt["G"])
+        meta["coarse_routers"] = [k for k in ("r_in", "r_out", "r_far") if k in rt]
+        for name in meta["coarse_routers"]:
+            for i, st in enumerate(rt[name]):
+                _save_arr(path, "coarse", f"{name}_{i}", st)
 
     if meta["down"]:
         dn = tp._down
@@ -195,6 +202,20 @@ def load_tile_plan(path, mmap=True):
             routers=routers,
             in_slot=in_slot,
             out_slot=out_slot,
+        )
+        if not tp.coarse.ok:
+            raise ValueError("loaded coarse graph exceeds router capacity")
+    elif meta["coarse_kind"] == "_CoarseRouterSmall":
+        from .tile_plan import _CoarseRouterSmall
+
+        routers = {"G": np.int64(meta["coarse_G"])}
+        for name in meta["coarse_routers"]:
+            routers[name] = tuple(
+                np.asarray(_load_arr(path, "coarse", f"{name}_{i}", mmap))
+                for i in range(5)
+            )
+        tp.coarse = _CoarseRouterSmall(
+            dfs, in_slot, out_slot, routers=routers
         )
         if not tp.coarse.ok:
             raise ValueError("loaded coarse graph exceeds router capacity")

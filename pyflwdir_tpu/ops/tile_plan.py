@@ -165,6 +165,10 @@ _HIGH = lax.Precision.HIGHEST
 # below this many coarse nodes a plain XLA-gather coarse level is cheaper
 # than building 2^21-padded routers
 _COARSE_ROUTER_MIN = 200_000
+# up to this many padded coarse slots the single-chunk 5-stage VMEM
+# router (one fused Pallas kernel per permutation) solves the coarse
+# level ~6x faster than the chunked 7-stage BigAccelPlan machinery
+_COARSE_SMALL_MAX = _S * _S * _S
 
 
 def _r128(x):
@@ -215,6 +219,290 @@ class _CoarseGather:
         acc = accumulate_planned(self.dfs, xn)
         out = jnp.zeros(self.n_out, acc.dtype)
         return out.at[arrs["dst"]].set(jnp.take(acc, arrs["src"]), mode="drop")
+
+
+# ---------------------------------------------------------------------------
+# mid-size coarse level: slot-mode single-chunk 5-stage VMEM routers
+# ---------------------------------------------------------------------------
+class _CoarseRouterSmall:
+    """Slot-mode coarse accumulation on the single-chunk 5-stage router.
+
+    Same DFS-interval identity and slot semantics as
+    :class:`ops.accel_big.BigAccelPlan` in slot mode, but each of the 2-3
+    permutations is one :class:`ops.router.RouterPlan` — a single fused
+    VMEM Pallas kernel on TPU instead of the chunked 7-stage chain (five
+    kernels + gather + transposes each). At the tile plan's typical coarse
+    size (~1-2M padded slots) this cuts the coarse solve from ~6.6 ms to
+    ~1 ms; capacity is 2^21 padded slots (above that the chunked plan
+    takes over). Integer inputs are exact in int32; float inputs run
+    compensated (double-single prefix sums, as the big plan).
+    """
+
+    def __init__(self, dfs, in_slot, out_slot, routers=None):
+        from .accel import _pad_bijection
+        from .router import RouterPlan
+
+        pre = dfs.preorder_np.astype(np.int64)
+        pos = dfs.pos_np.astype(np.int64)
+        size = dfs.size_np.astype(np.int64)
+        n_cells = pos.size
+        n_tree = pre.size
+        in_slot = np.asarray(in_slot, dtype=np.int64)
+        out_slot = np.asarray(out_slot, dtype=np.int64)
+        self.n_in = int(in_slot.max() + 1) if in_slot.size else 1
+        self.n_out = int(out_slot.max() + 1) if out_slot.size else 1
+        n_pad = max(n_cells, n_tree, self.n_in, self.n_out, 1)
+        n_pad = -(-n_pad // (_S * _S)) * (_S * _S)
+        self.ok = n_pad <= _S * _S * _S
+        if not self.ok:
+            return
+        self.n_pad = n_pad
+        Y = n_pad // _S
+
+        k = np.arange(n_tree, dtype=np.int64)
+        d = size[pre] - 1
+        far = d >= _S
+        sig_in = _pad_bijection(k, in_slot[pre], n_pad)
+        osel = (pos >= 0) & (out_slot >= 0)
+        cells_o = np.nonzero(osel)[0]
+        sig_out = _pad_bijection(out_slot[cells_o], pos[cells_o], n_pad)
+
+        lane = k % _S
+        near_sel = np.zeros(n_pad, dtype=bool)
+        near_sel[k[~far]] = True
+        idx_near = np.zeros(n_pad, dtype=np.int8)
+        ln = lane + np.where(far, 0, d)
+        idx_near[:n_tree] = (ln % _S).astype(np.int8)
+        sel_next = np.zeros(n_pad, dtype=bool)
+        sel_next[:n_tree] = ln >= _S
+        prev = ((np.arange(n_pad) % _S) - 1) % _S
+        tree_mask = np.zeros(n_pad, dtype=bool)
+        tree_mask[out_slot[cells_o]] = True
+        self._np = {
+            "near_sel": near_sel.reshape(Y, _S),
+            "idx_near": idx_near.reshape(Y, _S),
+            "sel_next": sel_next.reshape(Y, _S),
+            "idx_prev": prev.astype(np.int8).reshape(Y, _S),
+            "sel_prevrow": ((np.arange(n_pad) % _S) == 0).reshape(Y, _S),
+            "tree_mask": tree_mask.reshape(Y, _S),
+        }
+
+        # far intervals: dense group expansion (BigAccelPlan's scheme)
+        far = far & (out_slot[pre] >= 0)
+        k_far = k[far]
+        self.has_far = k_far.size > 0
+        sig_far = None
+        if self.has_far:
+            e_far = k_far + d[far]
+            order = np.lexsort((k_far, e_far))
+            k_sorted = k_far[order]
+            e_sorted = e_far[order]
+            uniq_e, inv = np.unique(e_sorted, return_inverse=True)
+            D = uniq_e.size
+            F = k_far.size
+            d_rows = -(-D // _S)
+            uniq_pad = np.zeros(d_rows * _S, dtype=np.int64)
+            uniq_pad[:D] = uniq_e
+            self.d_rows = d_rows
+            f_rows = -(-F // _S)
+            g_of_slot = np.zeros(f_rows * _S, dtype=np.int64)
+            g_of_slot[:F] = inv
+            g_of_slot[F:] = inv[-1] if F else 0
+            g2 = g_of_slot.reshape(f_rows, _S)
+            rlo = g2.min(axis=1) // _S
+            bidx = g2 - (rlo * _S)[:, None]
+            if bidx.max() >= 2 * _S:
+                raise AssertionError("far group rows span more than a row pair")
+            self.f_rows = f_rows
+            dst_far = out_slot[pre[k_sorted]]
+            sig_far = _pad_bijection(
+                dst_far, np.arange(F, dtype=np.int64), n_pad
+            )
+            far_cell = np.zeros(n_pad, dtype=bool)
+            far_cell[dst_far] = True
+            self._np.update(
+                {
+                    "uniq_e": uniq_pad.astype(np.int32),
+                    "rlo": rlo.astype(np.int32),
+                    "bidx_hi": bidx >= _S,
+                    "bidx": (bidx % _S).astype(np.int8),
+                    "far_cell": far_cell.reshape(Y, _S),
+                }
+            )
+
+        if routers is not None:
+            self.r_in = RouterPlan(routers["G"], *routers["r_in"])
+            self.r_out = RouterPlan(routers["G"], *routers["r_out"])
+            self.r_far = (
+                RouterPlan(routers["G"], *routers["r_far"])
+                if self.has_far
+                else None
+            )
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            jobs = {"r_in": sig_in, "r_out": sig_out}
+            if sig_far is not None:
+                jobs["r_far"] = sig_far
+            with ThreadPoolExecutor(len(jobs)) as ex:
+                futs = {
+                    name: ex.submit(RouterPlan.build, sig)
+                    for name, sig in jobs.items()
+                }
+                built = {name: f.result() for name, f in futs.items()}
+            self.r_in = built["r_in"]
+            self.r_out = built["r_out"]
+            self.r_far = built.get("r_far")
+        self._dev = None
+
+    def router_tables(self):
+        """Stage tables for external disk caching (ops/plan_io.py)."""
+        tabs = lambda r: (r.i1_np, r.iS1_np, r.iGp_np, r.iS2_np, r.i3_np)
+        out = {
+            "G": np.int64(self.r_in.G),
+            "r_in": tabs(self.r_in),
+            "r_out": tabs(self.r_out),
+        }
+        if self.has_far:
+            out["r_far"] = tabs(self.r_far)
+        return out
+
+    def arrays(self):
+        """Device pytree for :meth:`accumulate` (pass as a jit argument)."""
+        if self._dev is None:
+            dev = {k: jnp.asarray(v) for k, v in self._np.items()}
+            tabs = lambda r: tuple(
+                jnp.asarray(a)
+                for a in (r.i1_np, r.iS1_np, r.iGp_np, r.iS2_np, r.i3_np)
+            )
+            dev["r_in"] = tabs(self.r_in)
+            dev["r_out"] = tabs(self.r_out)
+            if self.has_far:
+                dev["r_far"] = tabs(self.r_far)
+            if any(
+                isinstance(x, jax.core.Tracer)
+                for x in jax.tree_util.tree_leaves(dev)
+            ):
+                return dev
+            self._dev = dev
+        return self._dev
+
+    def _route(self, name, x2, arrs):
+        from .router import RouterPlan, _ta
+
+        i1, iS1, iG, iS2, i3 = arrs[name]
+        G = self.n_pad // (_S * _S)
+        if not _on_tpu():
+            ta = lambda v, idx: jnp.take_along_axis(
+                v, idx.astype(jnp.int32), axis=1
+            )
+            return RouterPlan._chain(x2, G, i1, iS1, iG, iS2, i3, ta)
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def kernel(x_ref, i1r, iS1r, iGr, iS2r, i3r, o_ref):
+            ta = lambda v, idx: jnp.take_along_axis(
+                v, idx.astype(jnp.int32), axis=1
+            )
+            o_ref[:] = RouterPlan._chain(
+                x_ref[:], G, i1r[:], iS1r[:], iGr[:], iS2r[:], i3r[:], ta
+            )
+
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(x2, i1, iS1, iG, iS2, i3)
+
+    def _gather_pair(self, c, a):
+        zrow = jnp.zeros((1, _S), c.dtype)
+        c_next = jnp.concatenate([c[1:], zrow], axis=0)
+        c_prevrow = jnp.concatenate([zrow, c[:-1]], axis=0)
+        g_near = jnp.where(
+            a["sel_next"], _taa(c_next, a["idx_near"]), _taa(c, a["idx_near"])
+        )
+        g_prev = jnp.where(
+            a["sel_prevrow"],
+            _taa(c_prevrow, a["idx_prev"]),
+            _taa(c, a["idx_prev"]),
+        )
+        return g_near, g_prev
+
+    def _far_values(self, c, a, arrs):
+        Y = self.n_pad // _S
+        g = jnp.take(c.reshape(-1), a["uniq_e"]).reshape(self.d_rows, _S)
+        g_lo = jnp.take(g, a["rlo"], axis=0)
+        g_hi = jnp.take(
+            g, jnp.minimum(a["rlo"] + 1, self.d_rows - 1), axis=0
+        )
+        w = jnp.where(
+            a["bidx_hi"], _taa(g_hi, a["bidx"]), _taa(g_lo, a["bidx"])
+        )
+        w_full = jnp.zeros((Y, _S), c.dtype).at[: self.f_rows].set(w)
+        return self._route("r_far", w_full, arrs)
+
+    def accumulate(self, data, arrs=None):
+        """Slot-mode accumulation: input at ``in_slot`` layout, output at
+        ``out_slot`` layout (slots without a value return 0)."""
+        from .accel_big import BigAccelPlan
+
+        if arrs is None:
+            arrs = self.arrays()
+        a = arrs
+        Y = self.n_pad // _S
+        dtype = data.dtype
+        is_int = jnp.issubdtype(dtype, jnp.integer) or dtype == jnp.bool_
+        acc = jnp.int32 if is_int else jnp.float32
+        x = jnp.asarray(data).astype(acc)
+        x2 = jnp.concatenate(
+            [x, jnp.zeros(self.n_pad - x.shape[0], acc)]
+        ).reshape(Y, _S)
+
+        xp = self._route("r_in", x2, arrs)
+        if is_int:
+            c_row = jnp.cumsum(xp, axis=1)
+            t = c_row[:, -1]
+            off = jnp.concatenate(
+                [jnp.zeros(1, t.dtype), jnp.cumsum(t)[:-1]]
+            )
+            c = c_row + off[:, None]
+            g_near, g_prev = self._gather_pair(c, a)
+            outp = jnp.where(a["near_sel"], g_near, 0) - g_prev
+            out = self._route("r_out", outp, arrs)
+            if self.has_far:
+                out = out + jnp.where(
+                    a["far_cell"], self._far_values(c, a, arrs), 0
+                )
+        else:
+            zero = jnp.zeros_like(xp)
+            hi, lo = lax.associative_scan(
+                BigAccelPlan._ds_add, (xp, zero), axis=1
+            )
+            th_, tl = hi[:, -1], lo[:, -1]
+            oh, ol = lax.associative_scan(BigAccelPlan._ds_add, (th_, tl), axis=0)
+            oh = jnp.concatenate([jnp.zeros(1, oh.dtype), oh[:-1]])
+            ol = jnp.concatenate([jnp.zeros(1, ol.dtype), ol[:-1]])
+            chi, clo = BigAccelPlan._ds_add(
+                (hi, lo), (oh[:, None], ol[:, None])
+            )
+            gn_hi, gp_hi = self._gather_pair(chi, a)
+            gn_lo, gp_lo = self._gather_pair(clo, a)
+            out_hi = self._route(
+                "r_out", jnp.where(a["near_sel"], gn_hi - gp_hi, -gp_hi), arrs
+            )
+            out_lo = self._route(
+                "r_out", jnp.where(a["near_sel"], gn_lo - gp_lo, -gp_lo), arrs
+            )
+            out = out_hi + out_lo
+            if self.has_far:
+                far = (out_hi + self._far_values(chi, a, arrs)) + (
+                    out_lo + self._far_values(clo, a, arrs)
+                )
+                out = jnp.where(a["far_cell"], far, out)
+
+        res = jnp.where(a["tree_mask"], out, jnp.zeros((), out.dtype))
+        return res.reshape(-1)[: self.n_out].astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -818,16 +1106,25 @@ class TilePlan:
         self._coarse_ds_np = coarse_ds
         dfs_c = build_plan(coarse_ds, fast=False)
         self._coarse_dfs = dfs_c
-        if max(self.n_exit_flat, NT * max(E_pad, 1)) >= _COARSE_ROUTER_MIN:
-            self.coarse = BigAccelPlan(
-                dfs_c, coarse_ds, in_slot=in_slot, out_slot=out_slot
-            )
-            if not self.coarse.ok:
-                raise ValueError("coarse graph exceeds router capacity")
-        else:
+        if max(self.n_exit_flat, NT * max(E_pad, 1)) < _COARSE_ROUTER_MIN:
             self.coarse = _CoarseGather(
                 dfs_c, in_slot, out_slot, self.n_exit_flat, NT * max(E_pad, 1)
             )
+        else:
+            self.coarse = None
+            n_small = max(
+                self.n_exit_flat + D, NT * max(E_pad, 1), m + D
+            )
+            if n_small <= _COARSE_SMALL_MAX:
+                small = _CoarseRouterSmall(dfs_c, in_slot, out_slot)
+                if small.ok:
+                    self.coarse = small
+            if self.coarse is None:
+                self.coarse = BigAccelPlan(
+                    dfs_c, coarse_ds, in_slot=in_slot, out_slot=out_slot
+                )
+                if not self.coarse.ok:
+                    raise ValueError("coarse graph exceeds router capacity")
 
         _ck("coarse plan")
         self._dev = None

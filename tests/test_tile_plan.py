@@ -478,3 +478,45 @@ def test_native_down_phase_matches_numpy():
         assert np.array_equal(
             tp_nat._down["tabs"][k], tp_np._down["tabs"][k]
         ), k
+
+
+def test_tile_plan_small_router_coarse_paths(tmp_path):
+    """The single-chunk slot-mode coarse (_CoarseRouterSmall): int
+    exactness, compensated float accuracy, save/load round-trip, and
+    equality with the chunked BigAccelPlan coarse on the same graph."""
+    from pyflwdir_tpu.ops import tile_plan as tpm
+    from pyflwdir_tpu.ops.tile_plan import TilePlan
+
+    d8 = _grid((256, 256), seed=53)
+    idxs_ds, _, _ = d8c.from_array(d8)
+    old_min = tpm._COARSE_ROUTER_MIN
+    old_max = tpm._COARSE_SMALL_MAX
+    tpm._COARSE_ROUTER_MIN = 1
+    try:
+        tp_small = build_tile_plan(idxs_ds, (256, 256))
+        assert type(tp_small.coarse).__name__ == "_CoarseRouterSmall"
+        tpm._COARSE_SMALL_MAX = 0
+        tp_big = build_tile_plan(idxs_ds, (256, 256))
+        assert type(tp_big.coarse).__name__ == "BigAccelPlan"
+    finally:
+        tpm._COARSE_ROUTER_MIN = old_min
+        tpm._COARSE_SMALL_MAX = old_max
+
+    xi = jnp.ones(idxs_ds.size, jnp.int32)
+    got = np.asarray(tp_small.accumulate(xi))
+    assert np.array_equal(got, np.asarray(tp_big.accumulate(xi)))
+    gplan = build_plan(idxs_ds, fast=False)
+    want = np.asarray(accumulate_planned(gplan, jnp.ones(idxs_ds.size, jnp.int64)))
+    assert np.array_equal(got.astype(np.int64), want)
+
+    rng = np.random.RandomState(7)
+    w = rng.rand(idxs_ds.size).astype(np.float32)
+    outf = np.asarray(tp_small.accumulate(jnp.asarray(w, jnp.float32)))
+    wantf = np.asarray(accumulate_planned(gplan, jnp.asarray(w, jnp.float64)))
+    scale = max(np.abs(wantf).max(), 1.0)
+    assert np.allclose(outf, wantf, rtol=1e-4, atol=4e-6 * scale)
+
+    tp_small.save(tmp_path / "plan")
+    tp2 = TilePlan.load(tmp_path / "plan")
+    assert type(tp2.coarse).__name__ == "_CoarseRouterSmall"
+    assert np.array_equal(np.asarray(tp2.accumulate(xi)), got)

@@ -111,10 +111,16 @@ def save_tile_plan(tp, path, down=True):
         dn = tp._down
         meta["down_tabs"] = sorted(dn["tabs"].keys())
         meta["down_k"] = int(dn["k"])
+        meta["down_coarse_router"] = bool(dn.get("coarse_router"))
         for k, v in dn["tabs"].items():
             _save_arr(path, "down", k, v)
         for k, v in dn["cd"].items():
             _save_arr(path, "cd", k, v)
+        if meta["down_coarse_router"]:
+            rt = tp.coarse.down_router_tables()
+            for name in ("r_es", "r_dea", "r_deb"):
+                for i, st in enumerate(rt[name]):
+                    _save_arr(path, "coarse_down", f"{name}_{i}", st)
 
     with open(os.path.join(path, "plan.json"), "w") as f:
         json.dump(meta, f, indent=1)
@@ -225,6 +231,17 @@ def load_tile_plan(path, mmap=True):
         )
 
     if meta.get("down"):
+        use_cr = bool(meta.get("down_coarse_router"))
+        if use_cr:
+            routers = {"G": np.int64(meta["coarse_G"])}
+            for name in ("r_es", "r_dea", "r_deb"):
+                routers[name] = tuple(
+                    np.asarray(
+                        _load_arr(path, "coarse_down", f"{name}_{i}", mmap)
+                    )
+                    for i in range(5)
+                )
+            tp.coarse.build_down(dfs, routers=routers)
         tp._down = {
             "tabs": {
                 k: _load_arr(path, "down", k, mmap) for k in meta["down_tabs"]
@@ -233,6 +250,7 @@ def load_tile_plan(path, mmap=True):
                 k: np.asarray(_load_arr(path, "cd", k, False))
                 for k in ("pre", "pos", "ends_pre", "e2n", "wmap")
             },
+            "coarse_router": use_cr,
             "k": int(meta["down_k"]),
         }
         tp._down_dev = None

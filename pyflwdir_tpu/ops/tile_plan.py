@@ -262,6 +262,10 @@ class _CoarseRouterSmall:
         k = np.arange(n_tree, dtype=np.int64)
         d = size[pre] - 1
         far = d >= _S
+        # stashes for the lazy downward machinery (build_down)
+        self._in_slot_pre = in_slot[pre]
+        self._out_slot_pre = out_slot[pre]
+        self._down_np = None
         sig_in = _pad_bijection(k, in_slot[pre], n_pad)
         osel = (pos >= 0) & (out_slot >= 0)
         cells_o = np.nonzero(osel)[0]
@@ -366,6 +370,168 @@ class _CoarseRouterSmall:
         if self.has_far:
             out["r_far"] = tabs(self.r_far)
         return out
+
+    # -- downward (transpose) coarse solve ------------------------------
+    def build_down(self, dfs, routers=None):
+        """Build the downward-solve machinery: the coarse forest's
+        inclusive downstream-path sum as pure router passes + flat
+        prefix/suffix sums (the per-tile pass-D1 identity lifted to the
+        coarse graph). Replaces the XLA 1-D gather/scatter delta solve
+        (~40 ms at 1.3M coarse nodes on TPU — 1-D gathers do not tile)
+        with ~6 VMEM router kernels (~1.5 ms).
+
+        Needs 3 new colorings (es / dea / deb); the in/out routings reuse
+        the upward routers' inverses for free (palindromic schedule).
+        """
+        from .accel import _pad_bijection
+        from .router import RouterPlan
+
+        if getattr(self, "_down_np", None) is not None:
+            return
+        pre = dfs.preorder_np.astype(np.int64)
+        size = dfs.size_np.astype(np.int64)
+        n_tree = pre.size
+        n_pad = self.n_pad
+        k = np.arange(n_tree, dtype=np.int64)
+        ends = k + size[pre] - 1
+
+        if routers is None:
+            order = np.argsort(ends, kind="stable")  # (end, k) sort
+            sig_es = _pad_bijection(k, order, n_pad)
+            e_sorted = ends[order]
+            bnd = np.empty(n_tree, dtype=bool)
+            if n_tree:
+                bnd[0] = True
+                np.not_equal(e_sorted[1:], e_sorted[:-1], out=bnd[1:])
+            gstart = np.flatnonzero(bnd)
+            glast = np.append(gstart[1:] - 1, n_tree - 1) if n_tree else gstart
+            gend = e_sorted[gstart] if n_tree else gstart
+            sig_dea = _pad_bijection(gend, glast, n_pad)
+            b0 = gstart == 0
+            sig_deb = _pad_bijection(gend[~b0], gstart[~b0] - 1, n_pad)
+        de_sel = np.zeros(n_pad, dtype=bool)
+        de_b0 = np.zeros(n_pad, dtype=bool)
+        if n_tree:
+            de_sel[np.unique(ends)] = True
+            de_b0[ends[np.argmin(ends)]] = True  # the first sorted group
+
+        # masks: which preorder slots carry an input (nodes with an
+        # out_slot — entry nodes) and which in_slot positions receive a
+        # result (all on-tree nodes; entry nodes' in_slots sit past the
+        # exit region and are sliced away by the caller)
+        w_sel = np.zeros(n_pad, dtype=bool)
+        w_sel[k[self._out_slot_pre >= 0]] = True
+        a_sel = np.zeros(n_pad, dtype=bool)
+        a_sel[self._in_slot_pre] = True
+
+        Y = n_pad // _S
+        self._down_np = {
+            "de_sel": de_sel.reshape(Y, _S),
+            "de_b0": de_b0.reshape(Y, _S),
+            "w_sel": w_sel.reshape(Y, _S),
+            "a_sel": a_sel.reshape(Y, _S),
+        }
+        if routers is not None:
+            self.r_es = RouterPlan(routers["G"], *routers["r_es"])
+            self.r_dea = RouterPlan(routers["G"], *routers["r_dea"])
+            self.r_deb = RouterPlan(routers["G"], *routers["r_deb"])
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(3) as ex:
+                futs = {
+                    "r_es": ex.submit(RouterPlan.build, sig_es),
+                    "r_dea": ex.submit(RouterPlan.build, sig_dea),
+                    "r_deb": ex.submit(RouterPlan.build, sig_deb),
+                }
+                built = {n: f.result() for n, f in futs.items()}
+            self.r_es = built["r_es"]
+            self.r_dea = built["r_dea"]
+            self.r_deb = built["r_deb"]
+        # free inverses: pkf(out_slot layout) -> preorder; preorder ->
+        # in_slot (exit) layout
+        self.r_win = self.r_out.inverse()
+        self.r_aout = self.r_in.inverse()
+        self._down_dev = None
+
+    def down_router_tables(self):
+        tabs = lambda r: (r.i1_np, r.iS1_np, r.iGp_np, r.iS2_np, r.i3_np)
+        return {
+            "G": np.int64(self.r_es.G),
+            "r_es": tabs(self.r_es),
+            "r_dea": tabs(self.r_dea),
+            "r_deb": tabs(self.r_deb),
+        }
+
+    def down_arrays(self):
+        if self._down_dev is None:
+            dev = {k: jnp.asarray(v) for k, v in self._down_np.items()}
+            tabs = lambda r: tuple(
+                jnp.asarray(a)
+                for a in (r.i1_np, r.iS1_np, r.iGp_np, r.iS2_np, r.i3_np)
+            )
+            for name in ("r_es", "r_dea", "r_deb", "r_win", "r_aout"):
+                dev[name] = tabs(getattr(self, name))
+            if any(
+                isinstance(x, jax.core.Tracer)
+                for x in jax.tree_util.tree_leaves(dev)
+            ):
+                return dev
+            self._down_dev = dev
+        return self._down_dev
+
+    @staticmethod
+    def _flat_cumsum(xp):
+        c_row = jnp.cumsum(xp, axis=1)
+        t = c_row[:, -1]
+        off = jnp.concatenate([jnp.zeros(1, t.dtype), jnp.cumsum(t)[:-1]])
+        return c_row + off[:, None]
+
+    @staticmethod
+    def _flat_suffix(xp):
+        c_row = jnp.cumsum(xp[:, ::-1], axis=1)[:, ::-1]
+        t = xp.sum(axis=1)
+        off = jnp.concatenate(
+            [jnp.cumsum(t[::-1])[::-1][1:], jnp.zeros(1, t.dtype)]
+        )
+        return c_row + off[:, None]
+
+    @staticmethod
+    def _flat_shift_left(xp):
+        v = xp.reshape(-1)
+        return jnp.concatenate([v[1:], jnp.zeros(1, v.dtype)]).reshape(
+            xp.shape
+        )
+
+    def accumulate_down(self, pkf, arrs=None):
+        """Downward coarse solve: ``pkf`` in the packed-entry (out_slot)
+        layout -> inclusive path-sum A delivered at the exit (in_slot)
+        layout, zero at non-root slots. Transpose of :meth:`accumulate`.
+        """
+        if arrs is None:
+            arrs = self.down_arrays()
+        a = arrs
+        Y = self.n_pad // _S
+        dtype = pkf.dtype
+        is_int = jnp.issubdtype(dtype, jnp.integer) or dtype == jnp.bool_
+        acc = jnp.int32 if is_int else jnp.float32
+        x = jnp.asarray(pkf).astype(acc)
+        x2 = jnp.concatenate(
+            [x, jnp.zeros(self.n_pad - x.shape[0], acc)]
+        ).reshape(Y, _S)
+        zero = jnp.zeros((), acc)
+        u = jnp.where(a["w_sel"], self._route("r_win", x2, arrs), zero)
+        ues = self._route("r_es", u, arrs)
+        cs = self._flat_cumsum(ues)
+        gA = self._route("r_dea", cs, arrs)
+        gB = self._route("r_deb", cs, arrs)
+        ge = jnp.where(
+            a["de_sel"], gA - jnp.where(a["de_b0"], zero, gB), zero
+        )
+        inner = ge - self._flat_shift_left(u)
+        z = self._flat_suffix(inner)
+        out = jnp.where(a["a_sel"], self._route("r_aout", z, arrs), zero)
+        return out.reshape(-1)[: self.n_in].astype(dtype)
 
     def arrays(self):
         """Device pytree for :meth:`accumulate` (pass as a jit argument)."""
@@ -1854,6 +2020,12 @@ class TilePlan:
         e2n[meta["in_slot"][: meta["m"]]] = np.arange(
             meta["m"], dtype=np.int32
         )
+        # the single-chunk router coarse also solves the *downward*
+        # continuation as pure router passes (XLA 1-D gathers do not tile
+        # on TPU: the delta solve costs ~40 ms at 1.3M coarse nodes)
+        use_cr = isinstance(self.coarse, _CoarseRouterSmall)
+        if use_cr:
+            self.coarse.build_down(self._coarse_dfs)
         self._down = {
             "tabs": dtabs,
             "cd": {
@@ -1863,6 +2035,7 @@ class TilePlan:
                 "e2n": e2n,
                 "wmap": meta["out_slot"].astype(np.int32),
             },
+            "coarse_router": use_cr,
             "k": k,
         }
         self._down_dev = None
@@ -1893,9 +2066,12 @@ class TilePlan:
             src.update(self._down["tabs"])
             need = sorted(set(self._down_keys("d1") + self._down_keys("d2")))
             dev = {k: jnp.asarray(src[k]) for k in need}
-            dev["cd"] = {
-                k: jnp.asarray(v) for k, v in self._down["cd"].items()
-            }
+            if self._down.get("coarse_router"):
+                dev["cdr"] = self.coarse.down_arrays()
+            else:
+                dev["cd"] = {
+                    k: jnp.asarray(v) for k, v in self._down["cd"].items()
+                }
             if any(
                 isinstance(x, jax.core.Tracer)
                 for x in jax.tree_util.tree_leaves(dev)
@@ -2140,19 +2316,24 @@ class TilePlan:
             for ax in reversed(axes):  # minor axis first: row-major order
                 pk_g = lax.all_gather(pk_g, ax, axis=0, tiled=True)
             pkf = pk_g.reshape(-1)
-            wmap = cd["wmap"]
-            Wn = jnp.where(
-                wmap >= 0,
-                jnp.take(pkf, jnp.clip(wmap, 0, pkf.shape[0] - 1)),
-                jnp.zeros((), pkf.dtype),
-            )
-            A = self._coarse_down_apply(cd, Wn, k)
-            e2n = cd["e2n"]
-            Aslot = jnp.where(
-                e2n >= 0,
-                jnp.take(A, jnp.clip(e2n, 0, A.shape[0] - 1)),
-                jnp.zeros((), A.dtype),
-            )
+            if self._down.get("coarse_router"):
+                Aslot = self.coarse.accumulate_down(pkf, cd)[
+                    : self.n_exit_flat
+                ]
+            else:
+                wmap = cd["wmap"]
+                Wn = jnp.where(
+                    wmap >= 0,
+                    jnp.take(pkf, jnp.clip(wmap, 0, pkf.shape[0] - 1)),
+                    jnp.zeros((), pkf.dtype),
+                )
+                A = self._coarse_down_apply(cd, Wn, k)
+                e2n = cd["e2n"]
+                Aslot = jnp.where(
+                    e2n >= 0,
+                    jnp.take(A, jnp.clip(e2n, 0, A.shape[0] - 1)),
+                    jnp.zeros((), A.dtype),
+                )
             A3 = Aslot.reshape(self.NT, self.R_pad)
             nxt = jnp.concatenate(
                 [A3[:, 1:], jnp.zeros((self.NT, 1), A3.dtype)], axis=1
@@ -2164,13 +2345,14 @@ class TilePlan:
             xd_l = lax.dynamic_slice_in_dim(xd, idx * NTl, NTl, 0)
             return self._pass_down_lite_tiles(abar_l, xd_l, tabs_l, cfg)
 
+        cdk = "cdr" if self._down.get("coarse_router") else "cd"
         out_t = shard_map(
             body,
             mesh=mesh,
             in_specs=(ts, {kk: ts for kk in tabs}, P()),
             out_specs=ts,
             check_rep=False,
-        )(xt, tabs, darrs["cd"])
+        )(xt, tabs, darrs[cdk])
         out = self._untile_cpu(out_t)
         if (Hp, Wp) != (H, W):
             out = out[:H, :W]
@@ -2216,21 +2398,26 @@ class TilePlan:
         abar, pk = self._pass_down(xg, darrs, cfg)
         k = self._down["k"]
         if self.has_entries and k > 0:
-            cd = darrs["cd"]
             pkf = pk.reshape(-1)
-            wmap = cd["wmap"]
-            Wn = jnp.where(
-                wmap >= 0,
-                jnp.take(pkf, jnp.clip(wmap, 0, pkf.shape[0] - 1)),
-                jnp.zeros((), pkf.dtype),
-            )
-            A = self._coarse_down_apply(cd, Wn, k)
-            e2n = cd["e2n"]
-            Aslot = jnp.where(
-                e2n >= 0,
-                jnp.take(A, jnp.clip(e2n, 0, A.shape[0] - 1)),
-                jnp.zeros((), A.dtype),
-            )
+            if self._down.get("coarse_router"):
+                Aslot = self.coarse.accumulate_down(pkf, darrs["cdr"])[
+                    : self.n_exit_flat
+                ]
+            else:
+                cd = darrs["cd"]
+                wmap = cd["wmap"]
+                Wn = jnp.where(
+                    wmap >= 0,
+                    jnp.take(pkf, jnp.clip(wmap, 0, pkf.shape[0] - 1)),
+                    jnp.zeros((), pkf.dtype),
+                )
+                A = self._coarse_down_apply(cd, Wn, k)
+                e2n = cd["e2n"]
+                Aslot = jnp.where(
+                    e2n >= 0,
+                    jnp.take(A, jnp.clip(e2n, 0, A.shape[0] - 1)),
+                    jnp.zeros((), A.dtype),
+                )
             A3 = Aslot.reshape(self.NT, self.R_pad)
             nxt = jnp.concatenate(
                 [A3[:, 1:], jnp.zeros((self.NT, 1), A3.dtype)], axis=1

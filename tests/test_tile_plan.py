@@ -516,7 +516,21 @@ def test_tile_plan_small_router_coarse_paths(tmp_path):
     scale = max(np.abs(wantf).max(), 1.0)
     assert np.allclose(outf, wantf, rtol=1e-4, atol=4e-6 * scale)
 
+    # downward engine through the router coarse-down solve
+    want_dn = np.asarray(tp_big.accumulate_down(xi))
+    assert tp_small._down is None or tp_small._down.get("coarse_router")
+    got_dn = np.asarray(tp_small.accumulate_down(xi))
+    assert tp_small._down.get("coarse_router")
+    assert np.array_equal(got_dn, want_dn)
+    wf = rng.rand(idxs_ds.size).astype(np.float32)
+    dn_f = np.asarray(tp_small.accumulate_down(jnp.asarray(wf, jnp.float32)))
+    dn_f_big = np.asarray(tp_big.accumulate_down(jnp.asarray(wf, jnp.float32)))
+    scale = max(np.abs(dn_f_big).max(), 1.0)
+    assert np.allclose(dn_f, dn_f_big, rtol=1e-4, atol=4e-6 * scale)
+
     tp_small.save(tmp_path / "plan")
     tp2 = TilePlan.load(tmp_path / "plan")
     assert type(tp2.coarse).__name__ == "_CoarseRouterSmall"
+    assert tp2._down.get("coarse_router")
     assert np.array_equal(np.asarray(tp2.accumulate(xi)), got)
+    assert np.array_equal(np.asarray(tp2.accumulate_down(xi)), want_dn)

@@ -241,6 +241,31 @@ def bench_big(jax, jnp):
     )
     gps = n_cells / t
 
+    # durable-plan cold-start metrics: save (upward tables; the downward
+    # tables' one-off build is reported separately by bench_stages) and a
+    # from-disk load into a fully usable plan
+    plan_dir = os.path.join(CACHE, f"tileplan_{side}")
+    import shutil
+
+    shutil.rmtree(plan_dir, ignore_errors=True)
+    t0 = time.time()
+    tp.save(plan_dir, down=False)
+    t_save = time.time() - t0
+    t0 = time.time()
+    from pyflwdir_tpu.ops.tile_plan import TilePlan
+
+    tp_loaded = TilePlan.load(plan_dir)
+    t_load = time.time() - t0
+    out_l = np.asarray(
+        jax.jit(lambda x, a: tp_loaded.accumulate(x, a))(
+            data, tp_loaded.arrays()
+        )
+    )
+    assert int(out_l[idxs_pit].sum()) == n_valid, "loaded-plan conservation"
+    del tp_loaded, out_l
+    shutil.rmtree(plan_dir, ignore_errors=True)
+    log(f"plan save {t_save:.1f}s / load {t_load:.1f}s (checkpointed plans)")
+
     bpc = tile_bytes_per_cell(tp, n_cells)
     moved = bpc * n_cells
     roofline_pct = moved / t / (HBM_GBPS * 1e9) * 100
@@ -251,6 +276,8 @@ def bench_big(jax, jnp):
         "t_s": t,
         "gps": gps,
         "plan_build_s": t_build,
+        "plan_save_s": t_save,
+        "plan_load_s": t_load,
         "parse_s": t_parse,
         "bytes_per_cell": bpc,
         "roofline_pct_of_hbm": roofline_pct,
@@ -471,13 +498,22 @@ def bench_rhine(jax, jnp):
     pit_sum = int(np.asarray(out)[idxs_pit].sum())
     assert pit_sum == n_valid
 
-    t = _steady_state_time(
-        jax, lambda a, d: aplan.accumulate(_dep(d, a)), data, (data,), 64
+    # the 0.2 ms kernel is timing-noise-dominated through the tunnel:
+    # take the median of several independent steady-state estimates and
+    # report the spread (VERDICT r4 weak #4)
+    ts = sorted(
+        _steady_state_time(
+            jax, lambda a, d: aplan.accumulate(_dep(d, a)), data, (data,), 64
+        )
+        for _ in range(5)
     )
+    t = ts[len(ts) // 2]
+    spread = (ts[-1] - ts[0]) / t * 100
     return {
         "n_cells": n_cells,
         "t_s": t,
         "gps": n_cells / t,
+        "spread_pct": spread,
         "plan_build_s": t_build,
     }
 
@@ -575,7 +611,10 @@ def main():
                 "x_over_speed_of_light": round(big["x_over_speed_of_light"], 1),
                 "plan_build_s": round(big["plan_build_s"], 1),
                 "router_mgps": round(big.get("router_gps", 0) / 1e6, 1),
+                "plan_save_s": round(big.get("plan_save_s", 0), 1),
+                "plan_load_s": round(big.get("plan_load_s", 0), 1),
                 "rhine_mgps": round(rhine["gps"] / 1e6, 1),
+                "rhine_spread_pct": round(rhine.get("spread_pct", 0), 1),
                 "stages_mgps": {
                     k: round(v["mgps"], 1) for k, v in stages.items()
                 },

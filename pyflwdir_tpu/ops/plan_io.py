@@ -102,7 +102,10 @@ def save_tile_plan(tp, path, down=True):
     elif type(tp.coarse).__name__ == "_CoarseRouterSmall":
         rt = tp.coarse.router_tables()
         meta["coarse_G"] = int(rt["G"])
-        meta["coarse_routers"] = [k for k in ("r_in", "r_out", "r_far") if k in rt]
+        meta["coarse_n_in"] = int(tp.coarse.n_in)
+        meta["coarse_routers"] = [
+            k for k in ("r_in", "r_out", "r_far", "r_exp") if k in rt
+        ]
         for name in meta["coarse_routers"]:
             for i, st in enumerate(rt[name]):
                 _save_arr(path, "coarse", f"{name}_{i}", st)
@@ -221,7 +224,11 @@ def load_tile_plan(path, mmap=True):
                 for i in range(5)
             )
         tp.coarse = _CoarseRouterSmall(
-            dfs, in_slot, out_slot, routers=routers
+            dfs,
+            in_slot,
+            out_slot,
+            n_in=meta.get("coarse_n_in"),
+            routers=routers,
         )
         if not tp.coarse.ok:
             raise ValueError("loaded coarse graph exceeds router capacity")

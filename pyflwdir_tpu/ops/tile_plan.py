@@ -167,8 +167,10 @@ _HIGH = lax.Precision.HIGHEST
 _COARSE_ROUTER_MIN = 200_000
 # up to this many padded coarse slots the single-chunk 5-stage VMEM
 # router (one fused Pallas kernel per permutation) solves the coarse
-# level ~6x faster than the chunked 7-stage BigAccelPlan machinery
-_COARSE_SMALL_MAX = _S * _S * _S
+# level ~6x faster than the chunked 7-stage BigAccelPlan machinery.
+# Bound: the fused kernel holds in+out int32 planes plus 5 int8 stage
+# tables (~8.3 B/slot) against the ~16 MB scoped-vmem limit on v5e.
+_COARSE_SMALL_MAX = 1_870_000
 
 
 def _r128(x):
@@ -238,7 +240,7 @@ class _CoarseRouterSmall:
     compensated (double-single prefix sums, as the big plan).
     """
 
-    def __init__(self, dfs, in_slot, out_slot, routers=None):
+    def __init__(self, dfs, in_slot, out_slot, n_in=None, routers=None):
         from .accel import _pad_bijection
         from .router import RouterPlan
 
@@ -249,7 +251,16 @@ class _CoarseRouterSmall:
         n_tree = pre.size
         in_slot = np.asarray(in_slot, dtype=np.int64)
         out_slot = np.asarray(out_slot, dtype=np.int64)
-        self.n_in = int(in_slot.max() + 1) if in_slot.size else 1
+        # nodes whose in_slot lies past n_in (the tile plan's entry nodes,
+        # which read guaranteed-zero slots) are masked to zero after the
+        # input routing instead of widening the padded layout — this keeps
+        # n_pad (and the fused kernel's VMEM footprint) at the exit-slot
+        # count rather than exits + entries
+        self.n_in = (
+            int(n_in)
+            if n_in is not None
+            else (int(in_slot.max() + 1) if in_slot.size else 1)
+        )
         self.n_out = int(out_slot.max() + 1) if out_slot.size else 1
         n_pad = max(n_cells, n_tree, self.n_in, self.n_out, 1)
         n_pad = -(-n_pad // (_S * _S)) * (_S * _S)
@@ -266,7 +277,10 @@ class _CoarseRouterSmall:
         self._in_slot_pre = in_slot[pre]
         self._out_slot_pre = out_slot[pre]
         self._down_np = None
-        sig_in = _pad_bijection(k, in_slot[pre], n_pad)
+        has_in = in_slot[pre] < self.n_in
+        sig_in = _pad_bijection(k[has_in], in_slot[pre[has_in]], n_pad)
+        in_sel = np.zeros(n_pad, dtype=bool)
+        in_sel[k[has_in]] = True
         osel = (pos >= 0) & (out_slot >= 0)
         cells_o = np.nonzero(osel)[0]
         sig_out = _pad_bijection(out_slot[cells_o], pos[cells_o], n_pad)
@@ -279,16 +293,14 @@ class _CoarseRouterSmall:
         idx_near[:n_tree] = (ln % _S).astype(np.int8)
         sel_next = np.zeros(n_pad, dtype=bool)
         sel_next[:n_tree] = ln >= _S
-        prev = ((np.arange(n_pad) % _S) - 1) % _S
         tree_mask = np.zeros(n_pad, dtype=bool)
         tree_mask[out_slot[cells_o]] = True
         self._np = {
             "near_sel": near_sel.reshape(Y, _S),
             "idx_near": idx_near.reshape(Y, _S),
             "sel_next": sel_next.reshape(Y, _S),
-            "idx_prev": prev.astype(np.int8).reshape(Y, _S),
-            "sel_prevrow": ((np.arange(n_pad) % _S) == 0).reshape(Y, _S),
             "tree_mask": tree_mask.reshape(Y, _S),
+            "in_sel": in_sel.reshape(Y, _S),
         }
 
         # far intervals: dense group expansion (BigAccelPlan's scheme)
@@ -308,6 +320,12 @@ class _CoarseRouterSmall:
             uniq_pad = np.zeros(d_rows * _S, dtype=np.int64)
             uniq_pad[:D] = uniq_e
             self.d_rows = d_rows
+            # distinct interval-end prefix values are *routed* into the
+            # packed group array (ends are distinct -> bijection): XLA 1-D
+            # gathers over the padded layout cost ms on TPU
+            sig_exp = _pad_bijection(
+                np.arange(D, dtype=np.int64), uniq_e, n_pad
+            )
             f_rows = -(-F // _S)
             g_of_slot = np.zeros(f_rows * _S, dtype=np.int64)
             g_of_slot[:F] = inv
@@ -342,12 +360,18 @@ class _CoarseRouterSmall:
                 if self.has_far
                 else None
             )
+            self.r_exp = (
+                RouterPlan(routers["G"], *routers["r_exp"])
+                if self.has_far
+                else None
+            )
         else:
             from concurrent.futures import ThreadPoolExecutor
 
             jobs = {"r_in": sig_in, "r_out": sig_out}
             if sig_far is not None:
                 jobs["r_far"] = sig_far
+                jobs["r_exp"] = sig_exp
             with ThreadPoolExecutor(len(jobs)) as ex:
                 futs = {
                     name: ex.submit(RouterPlan.build, sig)
@@ -357,6 +381,7 @@ class _CoarseRouterSmall:
             self.r_in = built["r_in"]
             self.r_out = built["r_out"]
             self.r_far = built.get("r_far")
+            self.r_exp = built.get("r_exp")
         self._dev = None
 
     def router_tables(self):
@@ -369,6 +394,7 @@ class _CoarseRouterSmall:
         }
         if self.has_far:
             out["r_far"] = tabs(self.r_far)
+            out["r_exp"] = tabs(self.r_exp)
         return out
 
     # -- downward (transpose) coarse solve ------------------------------
@@ -422,7 +448,8 @@ class _CoarseRouterSmall:
         w_sel = np.zeros(n_pad, dtype=bool)
         w_sel[k[self._out_slot_pre >= 0]] = True
         a_sel = np.zeros(n_pad, dtype=bool)
-        a_sel[self._in_slot_pre] = True
+        isp = self._in_slot_pre
+        a_sel[isp[isp < self.n_in]] = True
 
         Y = n_pad // _S
         self._down_np = {
@@ -545,6 +572,7 @@ class _CoarseRouterSmall:
             dev["r_out"] = tabs(self.r_out)
             if self.has_far:
                 dev["r_far"] = tabs(self.r_far)
+                dev["r_exp"] = tabs(self.r_exp)
             if any(
                 isinstance(x, jax.core.Tracer)
                 for x in jax.tree_util.tree_leaves(dev)
@@ -553,8 +581,14 @@ class _CoarseRouterSmall:
             self._dev = dev
         return self._dev
 
+    # above this many padded slots the whole-array single-kernel chain
+    # (in + out + 5 stage tables + scratch, ~12.7 B/slot) exceeds the
+    # ~16 MB scoped VMEM and Mosaic spills catastrophically; switch to
+    # the gridded 3-kernel chain (still ~5 HBM round trips total)
+    _SINGLE_KERNEL_MAX = 1_150_000
+
     def _route(self, name, x2, arrs):
-        from .router import RouterPlan, _ta
+        from .router import RouterPlan
 
         i1, iS1, iG, iS2, i3 = arrs[name]
         G = self.n_pad // (_S * _S)
@@ -566,44 +600,114 @@ class _CoarseRouterSmall:
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
-        def kernel(x_ref, i1r, iS1r, iGr, iS2r, i3r, o_ref):
-            ta = lambda v, idx: jnp.take_along_axis(
-                v, idx.astype(jnp.int32), axis=1
-            )
-            o_ref[:] = RouterPlan._chain(
-                x_ref[:], G, i1r[:], iS1r[:], iGr[:], iS2r[:], i3r[:], ta
-            )
+        ta = lambda v, idx: jnp.take_along_axis(
+            v, idx.astype(jnp.int32), axis=1
+        )
+        if self.n_pad <= self._SINGLE_KERNEL_MAX:
+
+            def kernel(x_ref, i1r, iS1r, iGr, iS2r, i3r, o_ref):
+                o_ref[:] = RouterPlan._chain(
+                    x_ref[:], G, i1r[:], iS1r[:], iGr[:], iS2r[:], i3r[:], ta
+                )
+
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )(x2, i1, iS1, iG, iS2, i3)
+
+        # gridded chain: stages 1-2 and 4-5 are independent across the
+        # g axis (their (128,128) rotations run in VMEM per g-block);
+        # only the middle g-axis gather needs a cross-block layout, via
+        # two XLA transposes. 3 Pallas kernels + 2 transposes total.
+        vm = pltpu.VMEM
+        GB = 1
+        while GB * 2 <= 16 and G % (GB * 2) == 0:
+            GB *= 2
+
+        def k12(x_ref, i1r, iS1r, o_ref):
+            v = ta(x_ref[:], i1r[:])
+            v = v.reshape(GB, _S, _S).transpose(0, 2, 1)
+            o_ref[:] = ta(v.reshape(GB * _S, _S), iS1r[:])
+
+        rows = pl.BlockSpec((GB * _S, _S), lambda k: (k, 0), memory_space=vm)
+        v = pl.pallas_call(
+            k12,
+            grid=(G // GB,),
+            in_specs=[rows] * 3,
+            out_specs=rows,
+            out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+        )(x2, i1, iS1)  # -> (g, l, s) layout
+        v = v.reshape(G, _S, _S).transpose(2, 1, 0).reshape(_S * _S, G)
+
+        RB = 2048
+
+        def kg(v_ref, iGr, o_ref):
+            o_ref[:] = ta(v_ref[:], iGr[:])
+
+        rowsg = pl.BlockSpec((RB, G), lambda k: (k, 0), memory_space=vm)
+        v = pl.pallas_call(
+            kg,
+            grid=(_S * _S // RB,),
+            in_specs=[rowsg] * 2,
+            out_specs=rowsg,
+            out_shape=jax.ShapeDtypeStruct((_S * _S, G), x2.dtype),
+        )(v, iG)
+        v = v.reshape(_S, _S, G).transpose(2, 1, 0).reshape(G * _S, _S)
+
+        def k45(v_ref, iS2r, i3r, o_ref):
+            w = ta(v_ref[:], iS2r[:])
+            w = w.reshape(GB, _S, _S).transpose(0, 2, 1)
+            o_ref[:] = ta(w.reshape(GB * _S, _S), i3r[:])
 
         return pl.pallas_call(
-            kernel,
+            k45,
+            grid=(G // GB,),
+            in_specs=[rows] * 3,
+            out_specs=rows,
             out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )(x2, i1, iS1, iG, iS2, i3)
+        )(v, iS2, i3)
 
     def _gather_pair(self, c, a):
+        """Near-interval end / start values of the prefix plane ``c``.
+
+        The end gather is a genuine per-slot lane gather — run it as the
+        row-blocked Pallas kernel (XLA's take_along_axis gather lowers to
+        ~13 ms per call at this size on TPU); the start value is just the
+        flat predecessor, a 1-D shift."""
+        from .router_big import lane_gather_tiled
+
         zrow = jnp.zeros((1, _S), c.dtype)
         c_next = jnp.concatenate([c[1:], zrow], axis=0)
-        c_prevrow = jnp.concatenate([zrow, c[:-1]], axis=0)
         g_near = jnp.where(
-            a["sel_next"], _taa(c_next, a["idx_near"]), _taa(c, a["idx_near"])
+            a["sel_next"],
+            lane_gather_tiled(c_next, a["idx_near"]),
+            lane_gather_tiled(c, a["idx_near"]),
         )
-        g_prev = jnp.where(
-            a["sel_prevrow"],
-            _taa(c_prevrow, a["idx_prev"]),
-            _taa(c, a["idx_prev"]),
+        v = c.reshape(-1)
+        g_prev = jnp.concatenate([jnp.zeros(1, c.dtype), v[:-1]]).reshape(
+            c.shape
         )
         return g_near, g_prev
 
     def _far_values(self, c, a, arrs):
+        """Interval-end prefix values delivered to far slots: the packed
+        distinct-end values come from the r_exp *router* (not a 1-D XLA
+        gather), the duplicate broadcast is a static row-pair + Pallas
+        lane gather, and r_far delivers the copies."""
+        from .router_big import lane_gather_tiled
+
         Y = self.n_pad // _S
-        g = jnp.take(c.reshape(-1), a["uniq_e"]).reshape(self.d_rows, _S)
+        g = self._route("r_exp", c, arrs)[: self.d_rows]
         g_lo = jnp.take(g, a["rlo"], axis=0)
         g_hi = jnp.take(
             g, jnp.minimum(a["rlo"] + 1, self.d_rows - 1), axis=0
         )
         w = jnp.where(
-            a["bidx_hi"], _taa(g_hi, a["bidx"]), _taa(g_lo, a["bidx"])
+            a["bidx_hi"],
+            lane_gather_tiled(g_hi, a["bidx"]),
+            lane_gather_tiled(g_lo, a["bidx"]),
         )
         w_full = jnp.zeros((Y, _S), c.dtype).at[: self.f_rows].set(w)
         return self._route("r_far", w_full, arrs)
@@ -625,7 +729,11 @@ class _CoarseRouterSmall:
             [x, jnp.zeros(self.n_pad - x.shape[0], acc)]
         ).reshape(Y, _S)
 
-        xp = self._route("r_in", x2, arrs)
+        xp = jnp.where(
+            a["in_sel"],
+            self._route("r_in", x2, arrs),
+            jnp.zeros((), acc),
+        )
         if is_int:
             c_row = jnp.cumsum(xp, axis=1)
             t = c_row[:, -1]
@@ -811,22 +919,41 @@ def _body_a(x, tb, cfg):
 
 
 def _body_c(x, entA, tb, cfg):
-    """Pass C on one (Y, 128) tile: final accumulation in raster order."""
+    """Pass C on one (Y, 128) tile: final accumulation in raster order.
+
+    Entry inflows are injected *after* the prefix sum as a cumulative
+    step function: entries are packed in slot order, so with ``pc`` the
+    flat prefix of the packed entries, ``c[s] += pc[#entries at slots
+    <= s - 1]`` — one small cumsum plus one row-broadcast lane gather
+    per entry row (~3x cheaper than routing the entries through a full
+    5-stage chain; linearity of the prefix sum makes it exact)."""
     Y, G = cfg["Y"], cfg["G"]
     v = _local_chain(x, *_ptabs(tb, "rin"), G)
+    c = _cumsum_tile(v)
     if cfg["has_entries"]:
-        # entry inflows ride a bijective router to their cells' preorder
-        # slots (unique by construction — the coarse level pre-sums
-        # duplicate inflows at per-cell entry nodes; padded router
-        # sources all carry zeros, so no mask is needed)
-        pad_rows = Y - entA.shape[0]
+        E_rows = entA.shape[0]
+        pad_rows = max(8 - E_rows, 0)  # Mosaic: no sub-8-sublane gathers
         ev = entA
         if pad_rows > 0:
             ev = jnp.concatenate(
                 [ev, jnp.zeros((pad_rows, _S), ev.dtype)], axis=0
             )
-        v = v + _local_chain(ev, *_ptabs(tb, "ent"), G)
-    c = _cumsum_tile(v)
+        pc = _cumsum_tile(ev)
+        step = None
+        for r in range(E_rows):
+            rowv = jnp.broadcast_to(
+                lax.slice_in_dim(pc, r, r + 1, axis=0), (Y, _S)
+            )
+            g = _taa(rowv, tb["ent_lane"])
+            if step is None:
+                step = g
+            else:
+                step = jnp.where(
+                    tb["ent_row"].astype(jnp.int32) == r, g, step
+                )
+        c = c + jnp.where(
+            _mask(tb["ent_sel"]), step, jnp.zeros((), c.dtype)
+        )
 
     zrow = jnp.zeros((1, _S), c.dtype)
     c_next = jnp.concatenate([c[1:], zrow], axis=0)
@@ -1036,7 +1163,7 @@ class TilePlan:
         "far_bhi",
         "far_bidx",
     )
-    _C_ENT = ("ent_i1", "ent_is1", "ent_is2", "ent_i3")
+    _C_ENT = ("ent_sel", "ent_row", "ent_lane")  # step-injection tables
 
     def __init__(self, idxs_ds_np, shape, tile_rows=128):
         import os
@@ -1260,11 +1387,25 @@ class TilePlan:
             j2 = np.arange(D) - np.repeat(eoff[:-1], cnt_e)
             out_slot[m + od] = t2o * E_pad + j2
             self.E_rows = E_pad // _S
+            if self.E_rows > 127:
+                raise ValueError("entry rows exceed the int8 row table")
             # ent router: preorder slot of entry cell <- packed entry slot
-            # (slots are unique per cell — a plain bijection; all padded
-            # sources carry zeros, so no mask is needed after routing)
+            # (a plain bijection; pass C injects entries via the cheaper
+            # step tables below — the router family is kept because the
+            # downward pass D1 extracts packed entries via its inverse)
             sig_ent = _pad_bij(t2o, eso, j2, NT, T)
             tabs.update(self._stacked_fwd_tables(sig_ent, th, self.G, "ent"))
+            # step-injection tables (see _body_c): for each preorder slot
+            # s, the packed rank of the last entry at a slot <= s
+            ind = np.zeros(NT * T, dtype=np.int16)
+            ind[t2o * T + eso] = 1
+            cnt_le = np.cumsum(ind.reshape(NT, T), axis=1, dtype=np.int16)
+            idx = np.maximum(cnt_le - 1, 0)
+            tabs["ent_sel"] = (
+                (cnt_le > 0).astype(np.int8).reshape(NT, th, _S)
+            )
+            tabs["ent_row"] = (idx >> 7).astype(np.int8).reshape(NT, th, _S)
+            tabs["ent_lane"] = (idx & 127).astype(np.int8).reshape(NT, th, _S)
 
         _ck("coarse graph")
         self._coarse_meta = {"in_slot": in_slot, "out_slot": out_slot,
@@ -1278,11 +1419,11 @@ class TilePlan:
             )
         else:
             self.coarse = None
-            n_small = max(
-                self.n_exit_flat + D, NT * max(E_pad, 1), m + D
-            )
+            n_small = max(self.n_exit_flat, NT * max(E_pad, 1), m + D)
             if n_small <= _COARSE_SMALL_MAX:
-                small = _CoarseRouterSmall(dfs_c, in_slot, out_slot)
+                small = _CoarseRouterSmall(
+                    dfs_c, in_slot, out_slot, n_in=self.n_exit_flat
+                )
                 if small.ok:
                     self.coarse = small
             if self.coarse is None:
@@ -1541,7 +1682,8 @@ class TilePlan:
         """Device pytree for :meth:`accumulate`'s ``arrs`` argument (pass
         as a jit argument to keep plan tensors out of the executable)."""
         if self._dev is None:
-            dev = {k: jnp.asarray(v) for k, v in self._tabs_np.items()}
+            need = set(self._keys("a") + self._keys("c"))
+            dev = {k: jnp.asarray(self._tabs_np[k]) for k in need}
             dev["coarse"] = self.coarse.arrays()
             if any(
                 isinstance(x, jax.core.Tracer) for x in jax.tree_util.tree_leaves(dev)

@@ -200,6 +200,43 @@ def main():
     )
     log(f"STEADY pass D1: {ms_d1:.2f} ms")
 
+    # D2 alone + coarse-down alone
+    xd0 = jnp.zeros((tp.NT, tp.R_rows, 128), jnp.int32)
+    ms_d2 = steady_ms(
+        lambda s, a: tp._pass_down_lite(a["xg"] + s, a["xd"], a["d"], cfg)[
+            0, 0
+        ],
+        z32,
+        {"xg": xg0, "xd": xd0, "d": darrs},
+    )
+    log(f"STEADY pass D2: {ms_d2:.2f} ms")
+    if tp._down.get("coarse_router"):
+        pk0 = jnp.zeros(tp.NT * tp.E_rows * 128, jnp.int32)
+        ms_cd = steady_ms(
+            lambda s, a: tp.coarse.accumulate_down(a["pk"] + s, a["cdr"])[0],
+            z32,
+            {"pk": pk0, "cdr": darrs["cdr"]},
+        )
+        log(f"STEADY coarse-down (router): {ms_cd:.2f} ms")
+
+    # pass C body dissection: structural variants via cfg surgery
+    from pyflwdir_tpu.ops import tile_plan as tpm
+
+    def c_variant(far_mode, has_entries):
+        cfg_v = dict(cfg)
+        cfg_v["far_mode"] = far_mode
+        cfg_v["has_entries"] = has_entries
+        return steady_ms(
+            lambda s, a: tp._pass_c(a["xg"] + s, a["e"], a["t"], cfg_v)[0, 0],
+            z32,
+            {"xg": xg0, "e": entv, "t": arrs},
+        )
+
+    log(f"DISSECT C full: {ms_c:.2f} ms")
+    log(f"DISSECT C no-far: {c_variant(None, True):.2f} ms")
+    log(f"DISSECT C no-ent: {c_variant(tp.far_mode, False):.2f} ms")
+    log(f"DISSECT C no-far no-ent: {c_variant(None, False):.2f} ms")
+
     log("done")
 
 

@@ -100,6 +100,86 @@ def _sweep(w, dem_eff, fixed, conn8, down=True):
     return out
 
 
+def _erode_from(w0, dem_eff, fixed, conn8, max_rounds):
+    """Iterate sweep rounds from the upper bound ``w0`` to the fixpoint."""
+
+    def cond(state):
+        i, w, changed = state
+        return (i < max_rounds) & changed
+
+    def body(state):
+        i, w, _ = state
+        w1 = _sweep(w, dem_eff, fixed, conn8, down=True)
+        w2 = _sweep(w1, dem_eff, fixed, conn8, down=False)
+        return i + 1, w2, jnp.any(w2 != w)
+
+    _, w, _ = lax.while_loop(cond, body, (0, w0, jnp.asarray(True)))
+    return w
+
+
+def _pool2(x, pad_val, reduce2):
+    """2x2 block-reduce via strided row slices + one transpose pair.
+
+    ``reduce2`` is the elementwise pairwise reduction (maximum/minimum/
+    or/and). Avoids (..., 2)-minor reshapes, which TPU layouts pad 64x.
+    """
+    H, W = x.shape
+    He, We = -(-H // 2) * 2, -(-W // 2) * 2
+    if (He, We) != (H, W):
+        x = jnp.pad(
+            x, ((0, He - H), (0, We - W)), constant_values=pad_val
+        )
+    r = reduce2(x[0::2, :], x[1::2, :])
+    rt = r.T
+    return reduce2(rt[0::2, :], rt[1::2, :]).T
+
+
+def _up2(x, H, W):
+    """2x nearest-neighbour upsample (transpose pair for the lane axis)."""
+    r = jnp.repeat(x, 2, axis=0)
+    r = jnp.repeat(r.T, 2, axis=0).T
+    return r[:H, :W]
+
+
+def _fill_multigrid(dem_eff, seeds, bad, conn8, max_rounds, levels):
+    """Recursive coarse-to-fine erosion fill (exact).
+
+    The erosion fixpoint is unique and reached from *any* starting
+    surface that upper-bounds it, and every intermediate value is one of
+    the original DEM elevations (pure max/min moves) — so seeding each
+    level with the upsampled fill of the 2x2 max-pooled DEM changes only
+    the round count, never the result: a fine pour path through a block
+    sequence has barrier height <= the coarse path's block maxima, hence
+    ``max(dem, upsample(coarse fill))`` upper-bounds the fine fill.
+    Rounds per level drop from O(meander count of the full grid) to the
+    few local corrections the pooling misrepresents.
+    """
+    fixed = seeds | bad
+    if levels <= 0 or not conn8:
+        # (4-connectivity: 2x2 block cells are not mutually adjacent, so
+        # the coarse upper-bound argument fails — solve directly)
+        w0 = jnp.where(seeds, dem_eff, _INF)
+        return _erode_from(w0, dem_eff, fixed, conn8, max_rounds)
+    H, W = dem_eff.shape
+    d2 = _pool2(dem_eff, _INF, jnp.maximum)
+    s2 = _pool2(seeds, False, jnp.logical_or)
+    # a seed block acts as a terminal with fixed value = max over its
+    # *valid* cells (any fine path enters the block through a valid cell
+    # and reaches a seed in one in-block step under 8-connectivity, so
+    # this value covers the entering cell and keeps the upper bound);
+    # non-seed blocks touching nodata stay inf barriers (locally looser
+    # bound only)
+    vmax_valid = _pool2(
+        jnp.where(bad, -_INF, dem_eff), -_INF, jnp.maximum
+    )
+    d2 = jnp.where(s2, vmax_valid, d2)
+    b2 = _pool2(bad, True, jnp.logical_and) & ~s2
+    wc = _fill_multigrid(d2, s2, b2, conn8, max_rounds, levels - 1)
+    up = _up2(wc, H, W)
+    w0 = jnp.where(seeds, dem_eff, jnp.maximum(dem_eff, up))
+    return _erode_from(w0, dem_eff, fixed, conn8, max_rounds)
+
+
 def fill_depressions_dev(
     dem,
     nodata=-9999.0,
@@ -109,6 +189,7 @@ def fill_depressions_dev(
     max_depth=-1.0,
     elv_max=None,
     max_rounds=256,
+    multigrid_min=None,
 ):
     """Depression-filled DEM on device (jit-safe after seed construction).
 
@@ -153,23 +234,23 @@ def fill_depressions_dev(
     seeds_j = jnp.asarray(seeds)
     bad_j = jnp.asarray(bad)
     conn8 = connectivity == 8
+    # coarse-to-fine levels down to ~multigrid_min per side (None/0 =
+    # direct). Off by default: the coarse-seeded start is provably an
+    # upper bound (bitwise-identical result, see _fill_multigrid) but
+    # measured round counts do NOT drop on DEM-derived grids — the sweep
+    # cost is the row-sequential scan latency, not the round count — so
+    # seeding only adds the pooling overhead. Kept as an option for
+    # grids whose depressions are coarse-scale (e.g. large lakes).
+    levels = 0
+    side = max(dem.shape)
+    while multigrid_min and side > max(int(multigrid_min), 8):
+        side //= 2
+        levels += 1
 
     def erode(seeds_now):
-        w0 = jnp.where(seeds_now, dem_j, _INF)
-        fixed = seeds_now | bad_j
-
-        def cond(state):
-            i, w, changed = state
-            return (i < max_rounds) & changed
-
-        def body(state):
-            i, w, _ = state
-            w1 = _sweep(w, dem_j, fixed, conn8, down=True)
-            w2 = _sweep(w1, dem_j, fixed, conn8, down=False)
-            return i + 1, w2, jnp.any(w2 != w)
-
-        _, w, _ = lax.while_loop(cond, body, (0, w0, jnp.asarray(True)))
-        return w
+        return _fill_multigrid(
+            dem_j, seeds_now, bad_j, conn8, max_rounds, levels
+        )
 
     if max_depth >= 0:
         # depth-capped fill: depth-exceeding cells stay pits; their

@@ -2026,6 +2026,120 @@ class TilePlan:
         return out.reshape(-1).astype(dtype)
 
 
+    def accumulate_banded(self, data2d, band_tile_rows=None, out_cb=None):
+        """Exact accumulation streamed over horizontal bands of tile-rows
+        for plans whose device tables exceed HBM (≥1G-cell grids on one
+        chip): pass A runs per band with only that band's table slabs
+        resident, the (small) coarse graph solves once, pass C streams
+        again; each band's result is fetched *after* the next band's
+        compute is dispatched, so the host write-back (``out_cb(band,
+        rows0, array)``) overlaps device work.
+
+        ``data2d``: (H, W) array-like (np/memmap) or None for unit
+        weights (generated on device — nothing uploaded). Returns the
+        total of the fetched results' pit rows only when ``out_cb`` is
+        None, in which case the full (H, W) result is assembled in host
+        memory and returned.
+        """
+        import gc
+
+        H, W = self.shape
+        Hp, Wp = self.pshape
+        nty, ntx = self.grid
+        if band_tile_rows is None:
+            band_tile_rows = nty
+        nb = -(-nty // band_tile_rows)
+        dtype = jnp.int32 if data2d is None else jnp.asarray(
+            np.asarray(data2d[:1, :1])
+        ).dtype
+        cfg = self._acc_cfg(jnp.dtype(dtype))
+        a_keys = self._keys("a")
+        c_keys = self._keys("c")
+
+        def band_tiles(b):
+            ty0 = b * band_tile_rows
+            ty1 = min(ty0 + band_tile_rows, nty)
+            t0, t1 = ty0 * ntx, ty1 * ntx
+            r0, r1 = ty0 * self.Y, ty1 * self.Y
+            if data2d is None:
+                xt = jnp.ones((t1 - t0, self.Y, _S), cfg["acc"])
+            else:
+                blk = np.zeros((r1 - r0, Wp), np.asarray(data2d[:1, :1]).dtype)
+                rr1 = min(r1, H)
+                if rr1 > r0:
+                    blk[: rr1 - r0, :W] = data2d[r0:rr1]
+                xg = jnp.asarray(blk).astype(cfg["acc"])
+                xt = (
+                    xg.reshape(ty1 - ty0, self.Y, ntx, _S)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(t1 - t0, self.Y, _S)
+                )
+            return t0, t1, r0, r1, xt
+
+        exits = []
+        for b in range(nb):
+            t0, t1, _, _, xt = band_tiles(b)
+            tabs_b = {
+                k: jnp.asarray(np.ascontiguousarray(self._tabs_np[k][t0:t1]))
+                for k in a_keys
+            }
+            exits.append(self._pass_a_tiles(xt, tabs_b, cfg))
+            exits[-1].block_until_ready()
+            del tabs_b, xt
+            gc.collect()
+        exf = jnp.concatenate(exits).reshape(-1)
+        del exits
+        entv = self.coarse.accumulate(exf, self.coarse.arrays())
+        del exf
+        pad = self.NT * self.E_rows * _S - entv.shape[0]
+        if pad > 0:
+            entv = jnp.concatenate([entv, jnp.zeros(pad, entv.dtype)])
+        entv = entv.reshape(self.NT, self.E_rows, _S)
+
+        assemble = (
+            None
+            if out_cb is not None
+            else np.zeros((H, W), jnp.dtype(cfg["acc"]))
+        )
+        pending = None  # (band, rows0, device array) fetched one band late
+
+        def flush(p):
+            b, r0, dev, t0, t1, ty0, ty1 = p
+            band_np = np.asarray(dev)  # blocks; next band already queued
+            band_2d = (
+                band_np.reshape(ty1 - ty0, ntx, self.Y, _S)
+                .transpose(0, 2, 1, 3)
+                .reshape((ty1 - ty0) * self.Y, Wp)
+            )
+            rr1 = min(r0 + band_2d.shape[0], H)
+            if out_cb is not None:
+                out_cb(b, r0, band_2d[: rr1 - r0, :W])
+            else:
+                assemble[r0:rr1] = band_2d[: rr1 - r0, :W]
+
+        for b in range(nb):
+            t0, t1, r0, r1, xt = band_tiles(b)
+            tabs_b = {
+                k: jnp.asarray(np.ascontiguousarray(self._tabs_np[k][t0:t1]))
+                for k in c_keys
+            }
+            out_t = self._pass_c_tiles(
+                xt, lax.slice_in_dim(entv, t0, t1, axis=0), tabs_b, cfg
+            )
+            prev = pending
+            pending = (
+                b, r0, out_t, t0, t1,
+                b * band_tile_rows,
+                min((b + 1) * band_tile_rows, nty),
+            )
+            if prev is not None:
+                flush(prev)
+            del tabs_b, xt
+            gc.collect()
+        if pending is not None:
+            flush(pending)
+        return assemble
+
     # ------------------------------------------------------------------
     # downward (transpose) plan: inclusive downstream-path sums
     # ------------------------------------------------------------------

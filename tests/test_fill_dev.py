@@ -113,3 +113,43 @@ def test_from_dem_device_engine():
     n_valid = int((np.asarray(fd.idxs_ds) >= 0).sum())
     pits = np.asarray(fd.idxs_pit)
     assert int(ua.ravel()[pits].sum()) == n_valid
+
+
+def test_dev_fill_multigrid_bitwise():
+    """The coarse-to-fine seeded erosion fill is bitwise identical to the
+    direct fill and to the host priority flood, including nodata holes,
+    masked boundaries and capped depth."""
+    from pyflwdir_tpu import runtime
+    from pyflwdir_tpu.ops.fill import fill_depressions_dev
+
+    rng = np.random.RandomState(71)
+    H, W = 197, 243
+    z = rng.rand(H, W).astype(np.float32) * 10
+    z += np.add.outer(np.linspace(5, 0, H), np.linspace(5, 0, W)).astype(
+        np.float32
+    )
+    # nodata: a hole + an irregular boundary mask
+    z[40:60, 50:80] = -9999.0
+    yy, xx = np.mgrid[0:H, 0:W]
+    z[((yy - H / 2) ** 2 + (xx - W / 2) ** 2) > (0.65 * max(H, W)) ** 2] = (
+        -9999.0
+    )
+    direct = np.asarray(
+        fill_depressions_dev(z, nodata=-9999.0, multigrid_min=10**9)
+    )
+    mg = np.asarray(fill_depressions_dev(z, nodata=-9999.0, multigrid_min=16))
+    assert np.array_equal(mg, direct)
+    host = runtime.priority_flood(
+        z.astype(np.float64), nodata=-9999.0
+    )[0].astype(np.float32)
+    assert np.array_equal(mg, host)
+    # capped depth: outer fixpoint with multigrid inner fills
+    mg_cap = np.asarray(
+        fill_depressions_dev(z, nodata=-9999.0, max_depth=0.5, multigrid_min=16)
+    )
+    direct_cap = np.asarray(
+        fill_depressions_dev(
+            z, nodata=-9999.0, max_depth=0.5, multigrid_min=10**9
+        )
+    )
+    assert np.array_equal(mg_cap, direct_cap)

@@ -534,3 +534,30 @@ def test_tile_plan_small_router_coarse_paths(tmp_path):
     assert tp2._down.get("coarse_router")
     assert np.array_equal(np.asarray(tp2.accumulate(xi)), got)
     assert np.array_equal(np.asarray(tp2.accumulate_down(xi)), want_dn)
+
+
+def test_accumulate_banded_matches_monolith():
+    """Band-streamed accumulation (per-band table slabs + one coarse
+    solve) is bitwise equal to the monolithic sweep, both for unit
+    weights (device-generated) and a host data raster, incl. the
+    overlapped out_cb write path."""
+    shape = (300, 260)
+    d8 = _grid(shape, seed=59)
+    idxs_ds, _, _ = d8c.from_array(d8)
+    tp = build_tile_plan(idxs_ds, shape)
+    want = np.asarray(
+        tp.accumulate(jnp.ones(idxs_ds.size, jnp.int32))
+    ).reshape(shape)
+    got = tp.accumulate_banded(None, band_tile_rows=1)
+    assert np.array_equal(got, want)
+
+    rng = np.random.RandomState(61)
+    w = rng.randint(0, 9, shape).astype(np.int32)
+    want_w = np.asarray(tp.accumulate(jnp.asarray(w.ravel()))).reshape(shape)
+    parts = {}
+    tp.accumulate_banded(
+        w, band_tile_rows=1, out_cb=lambda b, r0, a: parts.update({r0: a.copy()})
+    )
+    got_w = np.concatenate([parts[k] for k in sorted(parts)], axis=0)
+    assert got_w.shape == shape
+    assert np.array_equal(got_w, want_w)

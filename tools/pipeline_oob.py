@@ -98,6 +98,12 @@ def main():
     ap.add_argument("--ckpt", default=None, help="existing checkpoint dir")
     ap.add_argument("--out", default="/tmp/oob_out")
     ap.add_argument("--scratch", default="/tmp/oob_scratch")
+    ap.add_argument(
+        "--hbm-table-gb",
+        type=float,
+        default=9.0,
+        help="switch to banded accumulate above this plan-table size",
+    )
     args = ap.parse_args()
 
     import jax
@@ -145,36 +151,72 @@ def main():
         flush=True,
     )
 
-    t0 = time.time()
-    arrs = tp.arrays()
-    data = jnp.ones(H * W, jnp.int32)  # generated on device
-    out = jax.jit(lambda x, a: tp.accumulate(x, a))(data, arrs)
-    out.block_until_ready()
-    print(
-        f"[oob] accumulate {time.time() - t0:.1f}s rss={_rss_gb():.1f}GB",
-        flush=True,
-    )
-
-    # band write-back: fetch + save one tile row at a time
-    t0 = time.time()
+    tab_gb = sum(v.nbytes for v in tp._tabs_np.values()) / 1e9
     tr, tc = meta["tile"]
-    out2 = out.reshape(H, W)
     os.makedirs(os.path.join(args.out, "uparea"), exist_ok=True)
-    pit_sum = 0
-    for ri in range(-(-H // tr)):
-        band = np.asarray(out2[ri * tr : (ri + 1) * tr])
-        bids = ids[ri * tr * W : min((ri + 1) * tr, H) * W]
-        ar = np.arange(ri * tr * W, ri * tr * W + bids.size, dtype=np.int64)
-        pit_sum += int(band.ravel()[(bids == ar)].sum())
-        for ci in range(-(-W // tc)):
-            np.save(
-                os.path.join(args.out, "uparea", f"r{ri}_c{ci}.npy"),
-                band[:, ci * tc : (ci + 1) * tc],
-            )
-    print(
-        f"[oob] write-back {time.time() - t0:.1f}s rss={_rss_gb():.1f}GB",
-        flush=True,
-    )
+    if tab_gb > args.hbm_table_gb:
+        # >=1G-cell grids: the plan's device tables exceed HBM — stream
+        # bands of tile-rows (per-band table slabs; one coarse solve; the
+        # fetch of band k overlaps band k+1's upload+compute) and write
+        # each fetched band straight to checkpoint tiles
+        print(
+            f"[oob] tables {tab_gb:.1f}GB > {args.hbm_table_gb}GB: banded"
+            " accumulate + overlapped write-back",
+            flush=True,
+        )
+        nty = tp.grid[0]
+        band_ty = max(
+            1, int(args.hbm_table_gb / 4 / (tab_gb / nty))
+        )  # ~1/4 budget per band slab
+        stats = {"pit_sum": 0}
+        t0 = time.time()
+
+        def write_band(b, r0, band):
+            bids = ids[r0 * W : (r0 + band.shape[0]) * W]
+            ar = np.arange(r0 * W, r0 * W + bids.size, dtype=np.int64)
+            stats["pit_sum"] += int(band.ravel()[(bids == ar)].sum())
+            for ci in range(-(-W // tc)):
+                np.save(
+                    os.path.join(args.out, "uparea", f"r{r0}_c{ci}.npy"),
+                    band[:, ci * tc : (ci + 1) * tc],
+                )
+
+        tp.accumulate_banded(None, band_tile_rows=band_ty, out_cb=write_band)
+        print(
+            f"[oob] banded accumulate+write-back {time.time() - t0:.1f}s"
+            f" (bands of {band_ty} tile-rows) rss={_rss_gb():.1f}GB",
+            flush=True,
+        )
+        pit_sum = stats["pit_sum"]
+    else:
+        t0 = time.time()
+        arrs = tp.arrays()
+        data = jnp.ones(H * W, jnp.int32)  # generated on device
+        out = jax.jit(lambda x, a: tp.accumulate(x, a))(data, arrs)
+        out.block_until_ready()
+        print(
+            f"[oob] accumulate {time.time() - t0:.1f}s rss={_rss_gb():.1f}GB",
+            flush=True,
+        )
+
+        # band write-back: fetch + save one tile row at a time
+        t0 = time.time()
+        out2 = out.reshape(H, W)
+        pit_sum = 0
+        for ri in range(-(-H // tr)):
+            band = np.asarray(out2[ri * tr : (ri + 1) * tr])
+            bids = ids[ri * tr * W : min((ri + 1) * tr, H) * W]
+            ar = np.arange(ri * tr * W, ri * tr * W + bids.size, dtype=np.int64)
+            pit_sum += int(band.ravel()[(bids == ar)].sum())
+            for ci in range(-(-W // tc)):
+                np.save(
+                    os.path.join(args.out, "uparea", f"r{ri}_c{ci}.npy"),
+                    band[:, ci * tc : (ci + 1) * tc],
+                )
+        print(
+            f"[oob] write-back {time.time() - t0:.1f}s rss={_rss_gb():.1f}GB",
+            flush=True,
+        )
     assert pit_sum == n_valid, f"conservation: {pit_sum} != {n_valid}"
     print(f"[oob] conservation OK (pit sum == {n_valid})", flush=True)
 

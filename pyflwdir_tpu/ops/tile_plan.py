@@ -1927,7 +1927,7 @@ class TilePlan:
         fdt = jnp.float64 if x64 else jnp.float32
         return self._cfg(acc, is_int and not x64, fdt)
 
-    def accumulate_sharded(self, data, mesh):
+    def accumulate_sharded(self, data, mesh, overlap_chunks=2):
         """Multi-device flow accumulation under ``shard_map`` (SPMD).
 
         The plan's tile axis is sharded over every mesh axis (flattened
@@ -1939,6 +1939,11 @@ class TilePlan:
         device then solves the small coarse graph redundantly (cheaper
         than scattering a ~n/80-node solve) and slices its own entry
         values. Bitwise-matches :meth:`accumulate` for integer inputs.
+
+        ``overlap_chunks > 1`` splits pass A into that many tile chunks
+        and gathers each chunk's exits as soon as they are computed, so
+        XLA's async collectives can hide the gather latency under the
+        remaining chunks' compute (the SCALING.json overlap column).
         """
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
@@ -1955,6 +1960,9 @@ class TilePlan:
         Hp, Wp = self.pshape
         dtype = data.dtype
         cfg = self._acc_cfg(dtype)
+        C = max(int(overlap_chunks), 1)
+        while NTl % C:
+            C -= 1
 
         xg = jnp.asarray(data).reshape(H, W).astype(cfg["acc"])
         if (Hp, Wp) != (H, W):
@@ -1967,10 +1975,29 @@ class TilePlan:
         ts = P(axes)
 
         def body(xt_l, tabs_l, coarse_l):
-            ex_l = self._pass_a_tiles(xt_l, tabs_l, cfg)
-            ex_g = ex_l
-            for ax in reversed(axes):  # minor axis first: row-major order
-                ex_g = lax.all_gather(ex_g, ax, axis=0, tiled=True)
+            NTc = NTl // C
+            gathered = []
+            for c in range(C):
+                xt_c = lax.slice_in_dim(xt_l, c * NTc, (c + 1) * NTc, axis=0)
+                tabs_c = {
+                    k: lax.slice_in_dim(v, c * NTc, (c + 1) * NTc, axis=0)
+                    for k, v in tabs_l.items()
+                }
+                ex_c = self._pass_a_tiles(xt_c, tabs_c, cfg)
+                for ax in reversed(axes):  # minor axis first: row-major
+                    ex_c = lax.all_gather(ex_c, ax, axis=0, tiled=True)
+                gathered.append(ex_c)
+            if C == 1:
+                ex_g = gathered[0]
+            else:
+                # chunk-gathered layout is (dev, chunk)-major per piece;
+                # reassemble the (dev, chunk, tile) order of the full
+                # exit array with pure reshapes
+                st = jnp.stack(
+                    [g.reshape(ndev, NTc, self.R_rows, _S) for g in gathered],
+                    axis=1,
+                )  # (C, ...) stacked on axis 1 -> (ndev, C, NTc, R, S)
+                ex_g = st.reshape(self.NT, self.R_rows, _S)
             entv = self.coarse.accumulate(ex_g.reshape(-1), coarse_l)
             pad = self.NT * self.E_rows * _S - entv.shape[0]
             if pad > 0:

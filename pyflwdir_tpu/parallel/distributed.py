@@ -87,7 +87,14 @@ def global_mesh():
     return make_mesh(devices=devices)
 
 
-def scaling_model(tp, n_devices, hbm_gbps=819.0, ici_gbps=45.0):
+def scaling_model(
+    tp,
+    n_devices,
+    hbm_gbps=819.0,
+    ici_gbps=45.0,
+    overlap_chunks=2,
+    cells_scale=1.0,
+):
     """Static communication/computation model of one *sharded* tile-plan
     accumulation sweep (``TilePlan.accumulate_sharded``), derived entirely
     from the plan — no wall-clock measurement involved, so it is valid on
@@ -105,13 +112,42 @@ def scaling_model(tp, n_devices, hbm_gbps=819.0, ici_gbps=45.0):
     a_keys = tp._keys("a")
     c_keys = tp._keys("c")
     tab = lambda keys: sum(tp._tabs_np[k].nbytes for k in set(keys))
-    n_cells = tp.pshape[0] * tp.pshape[1]
-    bpc = (tab(a_keys) + tab(c_keys)) / n_cells + 3 * 4
+    # cells_scale projects the per-cell account of this plan to a larger
+    # grid of the same drainage statistics (bytes/cell and the exit
+    # fraction are scale-free; SCALING.json reports both the measured
+    # plan's grid and the 67M-cell projection)
+    n_cells = tp.pshape[0] * tp.pshape[1] * cells_scale
+    bpc = (tab(a_keys) + tab(c_keys)) / (tp.pshape[0] * tp.pshape[1]) + 3 * 4
     compute_bytes = bpc * n_cells / n_devices
-    exits_bytes = tp.n_exit_flat * 4
+    exits_bytes = tp.n_exit_flat * 4 * cells_scale
     collective_bytes = exits_bytes * (n_devices - 1) / max(n_devices, 1)
     t_compute = compute_bytes / (hbm_gbps * 1e9)
     t_comm = collective_bytes / (ici_gbps * 1e9)
+    # overlapped pipeline (accumulate_sharded overlap_chunks): pass A is
+    # chunked and each chunk's exit gather hides under the remaining
+    # chunks' compute — classic 2-stage pipeline bound
+    C = max(int(overlap_chunks), 1)
+    ta = t_compute / 3  # pass A's share of the per-device sweep bytes
+    t_ov = (
+        t_compute
+        + t_comm
+        - min(t_comm, ta) * (1 - 1 / C)  # hidden fraction of the gather
+    )
+    # hierarchical contraction: only *device-boundary-crossing* flows
+    # need the collective (each device pre-contracts its local coarse
+    # forest; the mechanism is parallel/tiled.py's constant-round coarse
+    # contraction with edge-strip ppermutes). For a ~square 2-D slab of
+    # NT/n tiles, the crossing roots live in the slab's perimeter tiles.
+    gscale = max(int(round(np.sqrt(cells_scale))), 1)
+    nty, ntx = tp.grid[0] * gscale, tp.grid[1] * gscale
+    per_dev = max(nty * ntx // n_devices, 1)
+    a = max(int(np.sqrt(per_dev * nty / max(ntx, 1))), 1)
+    b = max(per_dev // a, 1)
+    interior = max(a - 2, 0) * max(b - 2, 0)
+    perim_frac = 1.0 - interior / (a * b)
+    hier_bytes = exits_bytes * perim_frac * (n_devices - 1) / n_devices
+    t_comm_h = hier_bytes / (ici_gbps * 1e9)
+    t_h = t_compute + t_comm_h - min(t_comm_h, ta) * (1 - 1 / C)
     return {
         "n_devices": n_devices,
         "bytes_per_cell": bpc,
@@ -121,10 +157,26 @@ def scaling_model(tp, n_devices, hbm_gbps=819.0, ici_gbps=45.0):
         "t_compute_model_s": t_compute,
         "t_comm_model_s": t_comm,
         "predicted_efficiency": t_compute / (t_compute + t_comm),
+        "predicted_efficiency_overlap": t_compute / t_ov,
+        "predicted_efficiency_hierarchical": t_compute / t_h,
+        "hierarchical_collective_bytes": hier_bytes,
+        "overlap_chunks": C,
         "assumptions": {
             "hbm_gbps_per_chip": hbm_gbps,
             "ici_gbps_per_link": ici_gbps,
-            "overlap": "none (lower bound; the gather can hide under pass A)",
+            "overlap": (
+                "per-chunk exit gathers hide under the remaining pass-A"
+                " chunks (accumulate_sharded overlap_chunks); the"
+                " no-overlap column is the lower bound"
+            ),
+            "hierarchical": (
+                "collective carries only device-boundary-crossing exits"
+                " (perimeter tiles of ~square 2-D slabs) after each"
+                " device pre-contracts its local coarse forest — the"
+                " constant-round contraction implemented by"
+                " parallel/tiled.py's coarse backend; TilePlan."
+                "accumulate_sharded currently ships the full gather"
+            ),
         },
     }
 

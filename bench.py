@@ -160,13 +160,15 @@ def big_plan(idxs_ds, side):
         np.savez(
             fd, pre=dfs.preorder_np, pos=dfs.pos_np, size=dfs.size_np
         )
-    fr = os.path.join(CACHE, f"routers_{side}.npz")
+    # v2: includes the r_exp far-packing router (cache key bumped)
+    fr = os.path.join(CACHE, f"routers2_{side}.npz")
     routers = None
     if os.path.exists(fr):
         z = np.load(fr)
         routers = {"G1": int(z["G1"]), "r_in": tuple(z[f"in{i}"] for i in range(7))}
         if "far0" in z:
             routers["r_far"] = tuple(z[f"far{i}"] for i in range(7))
+            routers["r_exp"] = tuple(z[f"exp{i}"] for i in range(7))
     t0 = time.time()
     plan = BigAccelPlan(dfs, idxs_ds, routers=routers)
     if routers is None:
@@ -175,7 +177,8 @@ def big_plan(idxs_ds, side):
         kw = {f"in{i}": a for i, a in enumerate(tabs["r_in"])}
         if "r_far" in tabs:
             kw.update({f"far{i}": a for i, a in enumerate(tabs["r_far"])})
-        np.savez(os.path.join(CACHE, f"routers_{side}.npz"), G1=tabs["G1"], **kw)
+            kw.update({f"exp{i}": a for i, a in enumerate(tabs["r_exp"])})
+        np.savez(os.path.join(CACHE, f"routers2_{side}.npz"), G1=tabs["G1"], **kw)
     return plan, dfs
 
 

@@ -124,11 +124,6 @@ class BigAccelPlan:
         self.near_sel = jnp.asarray(near_sel.reshape(Y, _S))
         self.idx_near = jnp.asarray(idx_near.reshape(Y, _S))
         self.sel_next = jnp.asarray(sel_next.reshape(Y, _S))
-        prev = ((np.arange(n_pad) % _S) - 1) % _S
-        self.idx_prev = jnp.asarray(prev.astype(np.int8).reshape(Y, _S))
-        self.sel_prevrow = jnp.asarray(
-            ((np.arange(n_pad) % _S) == 0).reshape(Y, _S)
-        )
 
         # out-layout validity mask: default mode = on-tree cells (others
         # pass the input through); slot mode = slots that receive a value
@@ -155,14 +150,18 @@ class BigAccelPlan:
             D = uniq_e.size
             F = k_far.size
 
-            # packed group values come from one small XLA gather of the D
-            # distinct interval-end prefix values (D ~ n/128 elements; the
-            # F copies are delivered by the r_far router, never gathered)
+            # packed group values are *routed* into the dense group array
+            # (ends are distinct -> a bijection; XLA 1-D gathers over the
+            # padded layout serialize on TPU — ms per call at ~100k+
+            # indices); the F copies are delivered by the r_far router
             d_rows = -(-D // _S)
             uniq_pad = np.zeros(d_rows * _S, dtype=np.int64)
             uniq_pad[:D] = uniq_e
             self.uniq_e = jnp.asarray(uniq_pad.astype(np.int32))
             self.d_rows = d_rows
+            sig_exp = _pad_bijection(
+                np.arange(D, dtype=np.int64), uniq_e, n_pad
+            )
 
             # broadcast: far slot q (holding group inv[q]) reads its value
             # from the packed group array. Groups covered by one 128-slot
@@ -202,6 +201,11 @@ class BigAccelPlan:
                 if self.has_far
                 else None
             )
+            self.r_exp = (
+                RouterPlanBig(routers["G1"], routers["r_exp"])
+                if self.has_far and "r_exp" in routers
+                else None
+            )
             self.r_out = (
                 RouterPlanBig(routers["G1"], routers["r_out"])
                 if "r_out" in routers
@@ -213,6 +217,7 @@ class BigAccelPlan:
             jobs = {"r_in": sig_in}
             if sig_far is not None:
                 jobs["r_far"] = sig_far
+                jobs["r_exp"] = sig_exp
             if sig_out is not None:
                 jobs["r_out"] = sig_out
             with ThreadPoolExecutor(max(len(jobs), 1)) as ex:
@@ -223,6 +228,7 @@ class BigAccelPlan:
                 built = {name: f.result() for name, f in futs.items()}
             self.r_in = built["r_in"]
             self.r_far = built.get("r_far")
+            self.r_exp = built.get("r_exp")
             self.r_out = built.get("r_out") or self.r_in.inverse()
 
     def router_tables(self):
@@ -230,6 +236,8 @@ class BigAccelPlan:
         out = {"G1": np.int64(self.r_in.G1), "r_in": tuple(self.r_in._np)}
         if self.has_far:
             out["r_far"] = tuple(self.r_far._np)
+            if self.r_exp is not None:
+                out["r_exp"] = tuple(self.r_exp._np)
         if self.slot_mode:
             out["r_out"] = tuple(self.r_out._np)
         return out
@@ -270,28 +278,33 @@ class BigAccelPlan:
         return self._ds_add((hi, lo), (oh[:, None], ol[:, None]))
 
     def _gather_pair(self, c, a):
-        """Near-interval end / start values of the prefix plane ``c``."""
+        """Near-interval end / start values of the prefix plane ``c``.
+        The end gather is a genuine lane gather (Pallas row blocks); the
+        start value is the flat predecessor — a 1-D shift."""
         zrow = jnp.zeros((1, _S), c.dtype)
         c_next = jnp.concatenate([c[1:], zrow], axis=0)
-        c_prevrow = jnp.concatenate([zrow, c[:-1]], axis=0)
         g_near = jnp.where(
             a.sel_next,
             lane_gather_tiled(c_next, a.idx_near),
             lane_gather_tiled(c, a.idx_near),
         )
-        g_prev = jnp.where(
-            a.sel_prevrow,
-            lane_gather_tiled(c_prevrow, a.idx_prev),
-            lane_gather_tiled(c, a.idx_prev),
+        v = c.reshape(-1)
+        g_prev = jnp.concatenate([jnp.zeros(1, c.dtype), v[:-1]]).reshape(
+            c.shape
         )
         return g_near, g_prev
 
     def _far_values(self, c, a, route):
-        """Interval-end prefix values delivered to far cells ((Y, S), to be
-        masked by ``far_cell``): small gather of the distinct ends, static
-        row-pair + lane-gather expansion to duplicates, one router pass."""
+        """Interval-end prefix values delivered to far cells ((Y, S), to
+        be masked by ``far_cell``): the distinct-end values ride the
+        r_exp *router* into the dense group array (1-D XLA gathers
+        serialize on TPU), a static row-pair + lane-gather expansion
+        broadcasts to duplicates, and one router pass delivers."""
         Y = self.n_pad // _S
-        g = jnp.take(c.reshape(-1), a.uniq_e).reshape(self.d_rows, _S)
+        if "r_exp" in a._arrs:
+            g = route("r_exp", c)[: self.d_rows]
+        else:  # plans cached before r_exp existed
+            g = jnp.take(c.reshape(-1), a.uniq_e).reshape(self.d_rows, _S)
         g_lo = jnp.take(g, a.rlo, axis=0)
         g_hi = jnp.take(g, jnp.minimum(a.rlo + 1, self.d_rows - 1), axis=0)
         w = jnp.where(
@@ -305,10 +318,7 @@ class BigAccelPlan:
     # arrays consumed by the device step; exposed as a pytree so callers
     # can pass them as jit *arguments* (runtimes that serialize jit
     # constants — e.g. remote-compile tunnels — choke on GB-scale consts)
-    _ARRAY_FIELDS = (
-        "near_sel", "idx_near", "sel_next", "idx_prev", "sel_prevrow",
-        "tree_mask",
-    )
+    _ARRAY_FIELDS = ("near_sel", "idx_near", "sel_next", "tree_mask")
     _FAR_FIELDS = ("far_cell", "uniq_e", "rlo", "bidx", "bidx_hi")
 
     def arrays(self):
@@ -327,6 +337,10 @@ class BigAccelPlan:
             out["r_far"] = (
                 self.r_far.tpu_stages() if fused else self.r_far.stages
             )
+            if self.r_exp is not None:
+                out["r_exp"] = (
+                    self.r_exp.tpu_stages() if fused else self.r_exp.stages
+                )
         return out
 
     def accumulate(self, data, arrs=None):

@@ -95,7 +95,9 @@ def save_tile_plan(tp, path, down=True):
     if isinstance(tp.coarse, BigAccelPlan):
         rt = tp.coarse.router_tables()
         meta["coarse_G1"] = int(rt["G1"])
-        meta["coarse_routers"] = [k for k in ("r_in", "r_far", "r_out") if k in rt]
+        meta["coarse_routers"] = [
+            k for k in ("r_in", "r_far", "r_exp", "r_out") if k in rt
+        ]
         for name in meta["coarse_routers"]:
             for i, st in enumerate(rt[name]):
                 _save_arr(path, "coarse", f"{name}_{i}", st)

@@ -1001,7 +1001,11 @@ class FlwdirRaster(Flwdir):
         Above the tile-plan threshold: cut the graph at the drain cells
         and broadcast each cut-root's elevation over its tree with one
         :meth:`TilePlan.accumulate_down` sweep (root-value broadcast —
-        the path sum touches exactly one nonzero weight)."""
+        the path sum touches exactly one nonzero weight). On that path
+        elevations ride float32 (on-chip storage format): values needing
+        a >24-bit mantissa are rounded, like every float32 raster op;
+        the small-grid path below the threshold is exact in the input
+        dtype."""
         drain_arr = self._check_data(drain, "drain")
         elev_arr = self._check_data(elevtn, "elevtn")
         dr = np.asarray(drain_arr).ravel() != 0

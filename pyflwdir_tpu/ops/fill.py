@@ -100,8 +100,200 @@ def _sweep(w, dem_eff, fixed, conn8, down=True):
     return out
 
 
+def _on_tpu():
+    import jax
+
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# strip-kernel sweep: the row recurrence at VPU latency
+# ---------------------------------------------------------------------------
+# The XLA lax.scan sweep costs ~130 us PER ROW at 8192 lanes (each row is
+# ~30 tiny ops paying op-dispatch latency); a full Pallas strip kernel
+# runs the identical Gauss-Seidel row recurrence as in-register VPU work
+# (~1-2 us/row): rows live as (ncol/128, 128) flat tiles, the within-row
+# clamp scans are 2-phase Hillis-Steele (lanes, then sublane aggregates),
+# and the previous row's updated values carry across the sequential TPU
+# grid in VMEM scratch.
+
+_SL = 128  # lanes
+
+
+def _clamp_scan_flat(a, b, reverse):
+    """Inclusive scan of clamp maps x -> max(a, min(b, x)) over the flat
+    row-major order of (RY, 128); returns the scanned (a, b) planes.
+    2-phase: lane scan, sublane-aggregate scan, broadcast-combine."""
+    RY = a.shape[0]
+
+    def shift(x, s, axis, fill):
+        # shift values *forward* along the scan direction by s
+        if axis == 1:
+            pad = jnp.full((RY, s), fill, x.dtype)
+            body = x[:, :-s] if not reverse else x[:, s:]
+            return (
+                jnp.concatenate([pad, body], axis=1)
+                if not reverse
+                else jnp.concatenate([body, pad], axis=1)
+            )
+        pad = jnp.full((s, _SL), fill, x.dtype)
+        body = x[:-s] if not reverse else x[s:]
+        return (
+            jnp.concatenate([pad, body], axis=0)
+            if not reverse
+            else jnp.concatenate([body, pad], axis=0)
+        )
+
+    def combine(al, bl, ar, br):
+        # right map applied after left map
+        return jnp.maximum(ar, jnp.minimum(br, al)), jnp.minimum(bl, br)
+
+    # phase 1: scan within lanes
+    s = 1
+    while s < _SL:
+        as_, bs_ = shift(a, s, 1, -_INF), shift(b, s, 1, _INF)
+        a, b = combine(as_, bs_, a, b)
+        s *= 2
+    # phase 2: scan of row aggregates (last lane in scan direction)
+    lane = 0 if reverse else _SL - 1
+    ra = lax.slice_in_dim(a, lane, lane + 1, axis=1)
+    rb = lax.slice_in_dim(b, lane, lane + 1, axis=1)
+    ra = jnp.broadcast_to(ra, (RY, _SL))
+    rb = jnp.broadcast_to(rb, (RY, _SL))
+    s = 1
+    while s < RY:
+        ras, rbs = shift(ra, s, 0, -_INF), shift(rb, s, 0, _INF)
+        ra, rb = combine(ras, rbs, ra, rb)
+        s *= 2
+    # exclusive row prefix: previous row's aggregate
+    pa, pb = shift(ra, 1, 0, -_INF), shift(rb, 1, 0, _INF)
+    return combine(pa, pb, a, b)
+
+
+def _flat_shift_inf(v, d):
+    """Flat row-major shift of (RY, 128) by d in {-1, +1}, +inf fill —
+    2-D ops only (lane slices + a sublane-row wrap column), Mosaic-safe."""
+    RY = v.shape[0]
+    lane = lax.broadcasted_iota(jnp.int32, (RY, _SL), 1)
+    col_inf = jnp.full((RY, 1), _INF, v.dtype)
+    row_inf = jnp.full((1, 1), _INF, v.dtype)
+    if d > 0:  # previous flat element
+        left = jnp.concatenate([col_inf, v[:, :-1]], axis=1)
+        wrap = jnp.concatenate([row_inf, v[:-1, -1:]], axis=0)  # (RY, 1)
+        return jnp.where(lane == 0, jnp.broadcast_to(wrap, (RY, _SL)), left)
+    right = jnp.concatenate([v[:, 1:], col_inf], axis=1)
+    wrap = jnp.concatenate([v[1:, :1], row_inf], axis=0)  # (RY, 1)
+    return jnp.where(
+        lane == _SL - 1, jnp.broadcast_to(wrap, (RY, _SL)), right
+    )
+
+
+def _row_update(wp, d_row, w_row, fx_row, conn8):
+    """One Gauss-Seidel row step on flat (RY, 128) rows; wp is the
+    previous row's updated values."""
+    if conn8:
+        m_up = jnp.minimum(
+            jnp.minimum(_flat_shift_inf(wp, 1), wp), _flat_shift_inf(wp, -1)
+        )
+    else:
+        m_up = wp
+    b = jnp.minimum(w_row, m_up)
+    a1, b1 = _clamp_scan_flat(d_row, b, reverse=False)
+    new = jnp.maximum(a1, b1)
+    b2in = jnp.minimum(b, new)
+    a2, b2 = _clamp_scan_flat(d_row, b2in, reverse=True)
+    new = jnp.minimum(new, jnp.maximum(a2, b2))
+    new = jnp.maximum(new, d_row)
+    return jnp.where(fx_row, w_row, new)
+
+
+def _sweep_strip(w, dem_eff, fixed, conn8, R=64):
+    """One full down-sweep as a sequential-grid Pallas kernel (strips of
+    R rows; the boundary row carries in VMEM scratch). Semantics match
+    :func:`_sweep` with ``down=True``; for the up sweep flip the inputs'
+    rows and flip the result back."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nrow, ncol = w.shape
+    RY = ncol // _SL
+    # 3-D layout (rows, RY, 128): each raster row is its flat tile stack
+    w3 = w.reshape(nrow, RY, _SL)
+    d3 = dem_eff.reshape(nrow, RY, _SL)
+    f3 = fixed.astype(jnp.int8).reshape(nrow, RY, _SL)
+
+    def kern(w_ref, d_ref, f_ref, o_ref, carry):
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            carry[...] = jnp.full((RY, _SL), _INF, w_ref.dtype)
+
+        def body(j, wp):
+            d_row = d_ref[pl.ds(j, 1)].reshape(RY, _SL)
+            w_row = w_ref[pl.ds(j, 1)].reshape(RY, _SL)
+            fx_row = f_ref[pl.ds(j, 1)].reshape(RY, _SL) != 0
+            new = _row_update(wp, d_row, w_row, fx_row, conn8)
+            o_ref[pl.ds(j, 1)] = new.reshape(1, RY, _SL)
+            return new
+
+        carry[...] = lax.fori_loop(0, R, body, carry[...])
+
+    blk = lambda: pl.BlockSpec(
+        (R, RY, _SL), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out3 = pl.pallas_call(
+        kern,
+        grid=(nrow // R,),
+        in_specs=[blk(), blk(), blk()],
+        out_specs=blk(),
+        out_shape=jax.ShapeDtypeStruct((nrow, RY, _SL), w.dtype),
+        scratch_shapes=[pltpu.VMEM((RY, _SL), w.dtype)],
+        interpret=not _on_tpu(),
+    )(w3, d3, f3)
+    return out3.reshape(nrow, ncol)
+
+
+_FORCE_STRIP = False  # tests: run the strip kernel in interpret mode
+
+
 def _erode_from(w0, dem_eff, fixed, conn8, max_rounds):
-    """Iterate sweep rounds from the upper bound ``w0`` to the fixpoint."""
+    """Iterate sweep rounds from the upper bound ``w0`` to the fixpoint.
+
+    On TPU the sweeps run as the strip Pallas kernel (identical
+    Gauss-Seidel recurrence at VPU latency); the grid is padded to the
+    strip size with fixed +inf cells (neutral under min/erosion)."""
+    nrow, ncol = w0.shape
+    R = 64
+    use_strip = (_on_tpu() or _FORCE_STRIP) and max(nrow, ncol) >= _SL
+
+    if use_strip:
+        pr = (-nrow) % R
+        pc = (-ncol) % _SL
+        if pr or pc:
+            pad = lambda x, v: jnp.pad(
+                x, ((0, pr), (0, pc)), constant_values=v
+            )
+            w0 = pad(w0, _INF)
+            dem_eff = pad(dem_eff, _INF)
+            fixed = pad(fixed, True)
+
+        def down(w):
+            return _sweep_strip(w, dem_eff, fixed, conn8, R=R)
+
+        dem_f = dem_eff[::-1]
+        fx_f = fixed[::-1]
+
+        def up(w):
+            return _sweep_strip(w[::-1], dem_f, fx_f, conn8, R=R)[::-1]
+    else:
+        def down(w):
+            return _sweep(w, dem_eff, fixed, conn8, down=True)
+
+        def up(w):
+            return _sweep(w, dem_eff, fixed, conn8, down=False)
 
     def cond(state):
         i, w, changed = state
@@ -109,12 +301,11 @@ def _erode_from(w0, dem_eff, fixed, conn8, max_rounds):
 
     def body(state):
         i, w, _ = state
-        w1 = _sweep(w, dem_eff, fixed, conn8, down=True)
-        w2 = _sweep(w1, dem_eff, fixed, conn8, down=False)
+        w2 = up(down(w))
         return i + 1, w2, jnp.any(w2 != w)
 
     _, w, _ = lax.while_loop(cond, body, (0, w0, jnp.asarray(True)))
-    return w
+    return w[:nrow, :ncol]
 
 
 def _pool2(x, pad_val, reduce2):

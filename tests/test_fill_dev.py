@@ -153,3 +153,42 @@ def test_dev_fill_multigrid_bitwise():
         )
     )
     assert np.array_equal(mg_cap, direct_cap)
+
+
+def test_dev_fill_strip_kernel_interpret():
+    """The strip-kernel sweep (Pallas, interpret mode on CPU) reaches the
+    identical fixpoint as the XLA scan sweep and the host priority flood,
+    including non-multiple shapes (padded with fixed +inf)."""
+    from pyflwdir_tpu import runtime
+    from pyflwdir_tpu.ops import fill as F
+
+    rng = np.random.RandomState(83)
+    H, W = 150, 200  # not multiples of the strip sizes
+    z = rng.rand(H, W).astype(np.float32) * 10
+    z += np.add.outer(np.linspace(5, 0, H), np.linspace(5, 0, W)).astype(
+        np.float32
+    )
+    z[40:50, 60:80] = -9999.0
+    want = np.asarray(F.fill_depressions_dev(z, nodata=-9999.0))
+    old = F._FORCE_STRIP
+    F._FORCE_STRIP = True
+    try:
+        got = np.asarray(F.fill_depressions_dev(z, nodata=-9999.0))
+    finally:
+        F._FORCE_STRIP = old
+    assert np.array_equal(got, want)
+    host = runtime.priority_flood(z.astype(np.float64), nodata=-9999.0)[0]
+    assert np.array_equal(got, host.astype(np.float32))
+
+    # 4-connectivity through the strip kernel too
+    F._FORCE_STRIP = True
+    try:
+        got4 = np.asarray(
+            F.fill_depressions_dev(z, nodata=-9999.0, connectivity=4)
+        )
+    finally:
+        F._FORCE_STRIP = old
+    want4 = np.asarray(
+        F.fill_depressions_dev(z, nodata=-9999.0, connectivity=4)
+    )
+    assert np.array_equal(got4, want4)

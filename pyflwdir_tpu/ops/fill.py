@@ -130,22 +130,14 @@ def _clamp_scan_flat(a, b, reverse):
     RY = a.shape[0]
 
     def shift(x, s, axis, fill):
-        # shift values *forward* along the scan direction by s
-        if axis == 1:
-            pad = jnp.full((RY, s), fill, x.dtype)
-            body = x[:, :-s] if not reverse else x[:, s:]
-            return (
-                jnp.concatenate([pad, body], axis=1)
-                if not reverse
-                else jnp.concatenate([body, pad], axis=1)
-            )
-        pad = jnp.full((s, _SL), fill, x.dtype)
-        body = x[:-s] if not reverse else x[s:]
-        return (
-            jnp.concatenate([pad, body], axis=0)
-            if not reverse
-            else jnp.concatenate([body, pad], axis=0)
-        )
+        # shift values *forward* along the scan direction by s (roll +
+        # identity-fill mask: full-width ops only — Mosaic ICEs on
+        # narrow-lane concats)
+        n = x.shape[axis]
+        rolled = jnp.roll(x, s if not reverse else -s, axis=axis)
+        idx = lax.broadcasted_iota(jnp.int32, x.shape, axis)
+        mask = idx < s if not reverse else idx >= n - s
+        return jnp.where(mask, jnp.full((), fill, x.dtype), rolled)
 
     def combine(al, bl, ar, br):
         # right map applied after left map
@@ -157,12 +149,12 @@ def _clamp_scan_flat(a, b, reverse):
         as_, bs_ = shift(a, s, 1, -_INF), shift(b, s, 1, _INF)
         a, b = combine(as_, bs_, a, b)
         s *= 2
-    # phase 2: scan of row aggregates (last lane in scan direction)
+    # phase 2: scan of row aggregates (last lane in scan direction; the
+    # lane broadcast is a constant lane gather — Mosaic ICEs on (Y, 1))
     lane = 0 if reverse else _SL - 1
-    ra = lax.slice_in_dim(a, lane, lane + 1, axis=1)
-    rb = lax.slice_in_dim(b, lane, lane + 1, axis=1)
-    ra = jnp.broadcast_to(ra, (RY, _SL))
-    rb = jnp.broadcast_to(rb, (RY, _SL))
+    idx_l = jnp.full((RY, _SL), lane, jnp.int32)
+    ra = jnp.take_along_axis(a, idx_l, axis=1)
+    rb = jnp.take_along_axis(b, idx_l, axis=1)
     s = 1
     while s < RY:
         ras, rbs = shift(ra, s, 0, -_INF), shift(rb, s, 0, _INF)
@@ -175,20 +167,20 @@ def _clamp_scan_flat(a, b, reverse):
 
 def _flat_shift_inf(v, d):
     """Flat row-major shift of (RY, 128) by d in {-1, +1}, +inf fill —
-    2-D ops only (lane slices + a sublane-row wrap column), Mosaic-safe."""
+    full-width rolls + masks only (Mosaic-safe)."""
     RY = v.shape[0]
     lane = lax.broadcasted_iota(jnp.int32, (RY, _SL), 1)
-    col_inf = jnp.full((RY, 1), _INF, v.dtype)
-    row_inf = jnp.full((1, 1), _INF, v.dtype)
+    row = lax.broadcasted_iota(jnp.int32, (RY, _SL), 0)
+    inf = jnp.full((), _INF, v.dtype)
     if d > 0:  # previous flat element
-        left = jnp.concatenate([col_inf, v[:, :-1]], axis=1)
-        wrap = jnp.concatenate([row_inf, v[:-1, -1:]], axis=0)  # (RY, 1)
-        return jnp.where(lane == 0, jnp.broadcast_to(wrap, (RY, _SL)), left)
-    right = jnp.concatenate([v[:, 1:], col_inf], axis=1)
-    wrap = jnp.concatenate([v[1:, :1], row_inf], axis=0)  # (RY, 1)
-    return jnp.where(
-        lane == _SL - 1, jnp.broadcast_to(wrap, (RY, _SL)), right
-    )
+        a = jnp.roll(v, 1, axis=1)      # lane 0 <- own row's lane 127
+        b = jnp.roll(a, 1, axis=0)      # lane 0 <- previous row's 127
+        out = jnp.where(lane == 0, b, a)
+        return jnp.where((lane == 0) & (row == 0), inf, out)
+    a = jnp.roll(v, -1, axis=1)
+    b = jnp.roll(a, -1, axis=0)
+    out = jnp.where(lane == _SL - 1, b, a)
+    return jnp.where((lane == _SL - 1) & (row == RY - 1), inf, out)
 
 
 def _row_update(wp, d_row, w_row, fx_row, conn8):

@@ -50,19 +50,31 @@ def from_dem(
     FlwdirRaster.
 
     ``engine="device"`` replaces the O(n log n) single-core host heap by
-    the device fill (:mod:`pyflwdir_tpu.ops.fill`: associative-scan
-    sweeps + steepest-descent/flat-resolution D8). The filled *surface*
-    matches the host kernel exactly (verified bitwise at 8192^2); the
-    derived D8 directions may differ on ties/flats (both are valid
-    drainages of the same surface, like the reference's heap-pop
-    order-dependent choices). ``"auto"`` currently keeps the host heap —
-    measured ~1.7M cells/s vs ~1.0M cells/s for the 256-round device
-    fill on v5e (docs/performance.md) — and exists so the default can
-    flip when the device fill's round count improves.
+    the device fill (:mod:`pyflwdir_tpu.ops.fill`: strip Pallas kernels
+    running the erosion row recurrence at VPU latency + steepest-
+    descent/flat-resolution D8). The filled *surface* matches the host
+    kernel exactly (verified bitwise at 8192^2; 8.3 s vs 37 s host
+    heap); the derived D8 directions may differ on ties/flats (both are
+    valid drainages of the same surface, like the reference's heap-pop
+    order-dependent choices). ``"auto"`` picks the device above
+    ``_FROM_DEM_DEV_MIN`` cells on an accelerator backend and the host
+    heap otherwise.
     """
     if engine not in ("auto", "host", "device"):
         raise ValueError(f"Unknown engine: {engine}")
     data = np.asarray(data)
+    if engine == "auto":
+        import jax as _jax
+
+        try:
+            on_acc = _jax.default_backend() != "cpu"
+        except Exception:
+            on_acc = False
+        engine = (
+            "device"
+            if on_acc and data.size >= _FROM_DEM_DEV_MIN
+            else "host"
+        )
     d8 = None
     if engine == "device":
         from .ops.fill import d8_from_filled, fill_depressions_dev

@@ -192,3 +192,40 @@ def test_dev_fill_strip_kernel_interpret():
         F.fill_depressions_dev(z, nodata=-9999.0, connectivity=4)
     )
     assert np.array_equal(got4, want4)
+
+
+def test_from_dem_auto_dispatch(monkeypatch):
+    """engine='auto' picks the device fill above _FROM_DEM_DEV_MIN on an
+    accelerator backend and the host heap otherwise."""
+    import jax
+
+    import pyflwdir_tpu
+    from pyflwdir_tpu import raster as raster_mod
+    from pyflwdir_tpu.ops import fill as F
+
+    rng = np.random.RandomState(9)
+    z = rng.rand(96, 80).astype(np.float32)
+    z += np.add.outer(np.linspace(2, 0, 96), np.linspace(2, 0, 80)).astype(
+        np.float32
+    )
+    calls = {"dev": 0}
+    orig = F.fill_depressions_dev
+
+    def spy(*a, **k):
+        calls["dev"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(F, "fill_depressions_dev", spy)
+    # small grid / cpu backend: host heap
+    fd = pyflwdir_tpu.from_dem(z, engine="auto")
+    assert calls["dev"] == 0
+    # pretend accelerator + tiny threshold: device path (keep the fill's
+    # own backend probe honest so Pallas stays in interpret/XLA mode)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(F, "_on_tpu", lambda: False)
+    monkeypatch.setattr(raster_mod, "_FROM_DEM_DEV_MIN", 0)
+    fd2 = pyflwdir_tpu.from_dem(z, engine="auto")
+    assert calls["dev"] == 1
+    ua = fd2.upstream_area(unit="cell")
+    n_valid = int((np.asarray(fd2.idxs_ds) >= 0).sum())
+    assert int(ua.ravel()[np.asarray(fd2.idxs_pit)].sum()) == n_valid

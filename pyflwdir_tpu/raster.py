@@ -64,15 +64,9 @@ def from_dem(
         raise ValueError(f"Unknown engine: {engine}")
     data = np.asarray(data)
     if engine == "auto":
-        import jax as _jax
-
-        try:
-            on_acc = _jax.default_backend() != "cpu"
-        except Exception:
-            on_acc = False
         engine = (
             "device"
-            if on_acc and data.size >= _FROM_DEM_DEV_MIN
+            if _accel_backend() and data.size >= _FROM_DEM_DEV_MIN
             else "host"
         )
     d8 = None
@@ -95,6 +89,14 @@ def from_dem(
 # device-fill threshold for from_dem (cells); the host heap costs
 # O(n log n) single-core minutes past this scale
 _FROM_DEM_DEV_MIN = 1 << 21
+
+
+def _accel_backend():
+    """True when the default backend is an accelerator (from_dem auto)."""
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
 
 
 def _get_idxs_dtype(n):

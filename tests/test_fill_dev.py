@@ -219,10 +219,8 @@ def test_from_dem_auto_dispatch(monkeypatch):
     # small grid / cpu backend: host heap
     fd = pyflwdir_tpu.from_dem(z, engine="auto")
     assert calls["dev"] == 0
-    # pretend accelerator + tiny threshold: device path (keep the fill's
-    # own backend probe honest so Pallas stays in interpret/XLA mode)
-    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    monkeypatch.setattr(F, "_on_tpu", lambda: False)
+    # pretend accelerator + tiny threshold: device path
+    monkeypatch.setattr(raster_mod, "_accel_backend", lambda: True)
     monkeypatch.setattr(raster_mod, "_FROM_DEM_DEV_MIN", 0)
     fd2 = pyflwdir_tpu.from_dem(z, engine="auto")
     assert calls["dev"] == 1

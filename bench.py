@@ -390,17 +390,33 @@ def bench_stages(jax, jnp, d8_grid, idxs_ds, idxs_pit, n_valid, tp, seq):
     log(f"d8_from_filled: {n / t_dev / 1e6:.0f} Mgp/s dev ({t_dev:.2f}s)")
 
     # Strahler order (log-depth tile-plan levels vs host preorder sweep;
-    # first call compiles the level step, second measures steady state)
-    sto = np.asarray(strahler_tile_plan(d8_grid, tp))
+    # first call compiles the level step, second measures steady state).
+    # Timed like every other stage: device completion (block_until_ready)
+    # with the full-map tunnel fetch reported separately — the fetch is a
+    # remote-runtime artifact (~3 s for 67 MB over this tunnel, ~0.1 s on
+    # local PCIe), not kernel time.
+    jax.block_until_ready(strahler_tile_plan(d8_grid, tp))
     t0 = time.time()
-    sto = np.asarray(strahler_tile_plan(d8_grid, tp))
+    sto_dev = strahler_tile_plan(d8_grid, tp)
+    jax.block_until_ready(sto_dev)
     t_dev = time.time() - t0
+    t0 = time.time()
+    sto = np.asarray(sto_dev)
+    t_fetch = time.time() - t0
     t0 = time.time()
     sto_host = runtime.strahler_order(idxs_ds.astype(np.int64), seq)
     t_cpu = time.time() - t0
     assert np.array_equal(sto.ravel(), sto_host.astype(np.uint8))
-    stages["strahler"] = {"dev_s": t_dev, "mgps": n / t_dev / 1e6, "cpu_s": t_cpu}
-    log(f"strahler: {n / t_dev / 1e6:.0f} Mgp/s dev ({t_dev:.2f}s) vs {t_cpu:.1f}s host sweep")
+    stages["strahler"] = {
+        "dev_s": t_dev,
+        "mgps": n / t_dev / 1e6,
+        "fetch_s": t_fetch,
+        "cpu_s": t_cpu,
+    }
+    log(
+        f"strahler: {n / t_dev / 1e6:.0f} Mgp/s dev ({t_dev:.2f}s +"
+        f" {t_fetch:.2f}s tunnel fetch) vs {t_cpu:.1f}s host sweep"
+    )
 
     # downward engine (stream distance; HAND/basins are the same sweep)
     t0 = time.time()
@@ -506,7 +522,7 @@ def bench_rhine(jax, jnp):
     # report the spread (VERDICT r4 weak #4)
     ts = sorted(
         _steady_state_time(
-            jax, lambda a, d: aplan.accumulate(_dep(d, a)), data, (data,), 64
+            jax, lambda a, d: aplan.accumulate(_dep(d, a)), data, (data,), 192
         )
         for _ in range(5)
     )

@@ -34,9 +34,45 @@ from .plan import DfsPlan, build_plan
 from .router import _S
 from .router_big import RouterPlanBig, _on_tpu, lane_gather_tiled
 
-__all__ = ["BigAccelPlan", "build_big_accel_plan"]
+__all__ = ["BigAccelPlan", "build_big_accel_plan", "down_sort_sigmas"]
 
 _CHUNK = _S * _S * _S  # elements per router chunk (2^21)
+
+
+def down_sort_sigmas(pre, size, n_pad, need_sigmas=True):
+    """End-sort / group-boundary sigmas for the downward (transpose)
+    coarse solve (shared by the single-chunk and chunked router coarse):
+    returns (sig_es, sig_dea, sig_deb, de_sel, de_b0); the sigmas are
+    None when ``need_sigmas`` is False (loading pre-colored routers)."""
+    n_tree = pre.size
+    k = np.arange(n_tree, dtype=np.int64)
+    ends = k + size[pre] - 1
+    de_sel = np.zeros(n_pad, dtype=bool)
+    de_b0 = np.zeros(n_pad, dtype=bool)
+    if n_tree:
+        de_sel[np.unique(ends)] = True
+        de_b0[ends[np.argmin(ends)]] = True
+    if not need_sigmas:
+        return None, None, None, de_sel, de_b0
+    order = np.argsort(ends, kind="stable")  # (end, k) sort
+    sig_es = _pad_bijection(k, order, n_pad)
+    if n_tree:
+        e_sorted = ends[order]
+        bnd = np.empty(n_tree, dtype=bool)
+        bnd[0] = True
+        np.not_equal(e_sorted[1:], e_sorted[:-1], out=bnd[1:])
+        gstart = np.flatnonzero(bnd)
+        glast = np.append(gstart[1:] - 1, n_tree - 1)
+        gend = e_sorted[gstart]
+        sig_dea = _pad_bijection(gend, glast, n_pad)
+        b0 = gstart == 0
+        sig_deb = _pad_bijection(gend[~b0], gstart[~b0] - 1, n_pad)
+    else:
+        sig_dea = _pad_bijection(
+            np.zeros(0, np.int64), np.zeros(0, np.int64), n_pad
+        )
+        sig_deb = sig_dea.copy()
+    return sig_es, sig_dea, sig_deb, de_sel, de_b0
 
 
 class _View:
@@ -103,6 +139,12 @@ class BigAccelPlan:
         # cell -> preorder permutation; preorder -> cell is its inverse
         # (pos inverts pre), derived from the same colorings for free
         src_in = pre if in_slot is None else in_slot[pre]
+        if self.slot_mode:  # stashes for the lazy downward coarse solve
+            self._in_slot_pre = src_in
+            self._out_slot_pre = (
+                out_slot[pre] if out_slot is not None else None
+            )
+            self._down_np = None
         sig_in = _pad_bijection(k, src_in, n_pad)
         sig_far = None
         sig_out = None
@@ -342,6 +384,131 @@ class BigAccelPlan:
                     self.r_exp.tpu_stages() if fused else self.r_exp.stages
                 )
         return out
+
+    # -- downward (transpose) coarse solve: slot mode only --------------
+    def build_down(self, dfs, routers=None):
+        """Router machinery for the downward coarse solve (the pass-D1
+        identity on the coarse forest; see the single-chunk twin,
+        ops/tile_plan._CoarseRouterSmall.build_down). 3 new colorings;
+        the in/out routings reuse the upward routers' inverses."""
+        if getattr(self, "_down_np", None) is not None:
+            return
+        pre = dfs.preorder_np.astype(np.int64)
+        size = dfs.size_np.astype(np.int64)
+        n_pad = self.n_pad
+        n_tree = pre.size
+        k = np.arange(n_tree, dtype=np.int64)
+
+        sig_es, sig_dea, sig_deb, de_sel, de_b0 = down_sort_sigmas(
+            pre, size, n_pad, need_sigmas=routers is None
+        )
+        Y = n_pad // _S
+        w_sel = np.zeros(n_pad, dtype=bool)
+        w_sel[k[self._out_slot_pre >= 0]] = True
+        a_sel = np.zeros(n_pad, dtype=bool)
+        isp = self._in_slot_pre
+        a_sel[isp[isp < n_pad]] = True
+        self._down_np = {
+            "de_sel": de_sel.reshape(Y, _S),
+            "de_b0": de_b0.reshape(Y, _S),
+            "w_sel": w_sel.reshape(Y, _S),
+            "a_sel": a_sel.reshape(Y, _S),
+        }
+        if routers is not None:
+            self.r_es = RouterPlanBig(routers["G1"], routers["r_es"])
+            self.r_dea = RouterPlanBig(routers["G1"], routers["r_dea"])
+            self.r_deb = RouterPlanBig(routers["G1"], routers["r_deb"])
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(3) as ex:
+                futs = {
+                    "r_es": ex.submit(RouterPlanBig.build, sig_es),
+                    "r_dea": ex.submit(RouterPlanBig.build, sig_dea),
+                    "r_deb": ex.submit(RouterPlanBig.build, sig_deb),
+                }
+                built = {n: f.result() for n, f in futs.items()}
+            self.r_es = built["r_es"]
+            self.r_dea = built["r_dea"]
+            self.r_deb = built["r_deb"]
+        self.r_win = self.r_out.inverse()
+        self.r_aout = self.r_in.inverse()
+        self._down_dev = None
+
+    def down_router_tables(self):
+        return {
+            "G1": np.int64(self.r_es.G1),
+            "r_es": tuple(self.r_es._np),
+            "r_dea": tuple(self.r_dea._np),
+            "r_deb": tuple(self.r_deb._np),
+        }
+
+    def down_arrays(self):
+        if getattr(self, "_down_dev", None) is None:
+            fused = _on_tpu()
+            dev = {k: jnp.asarray(v) for k, v in self._down_np.items()}
+            for name in ("r_es", "r_dea", "r_deb", "r_win", "r_aout"):
+                r = getattr(self, name)
+                dev[name] = r.tpu_stages() if fused else r.stages
+            import jax
+
+            if any(
+                isinstance(x, jax.core.Tracer)
+                for x in jax.tree_util.tree_leaves(dev)
+            ):
+                return dev
+            self._down_dev = dev
+        return self._down_dev
+
+    def accumulate_down(self, pkf, arrs=None):
+        """Downward coarse solve (transpose of :meth:`accumulate`):
+        ``pkf`` in the out_slot layout -> inclusive path-sums delivered
+        at the in_slot layout, zero at uncovered slots."""
+        from jax import lax
+
+        if arrs is None:
+            arrs = self.down_arrays()
+        a = arrs
+        G1 = self.r_es.G1
+        fused = _on_tpu()
+
+        def route(name, x2):
+            if fused:
+                return RouterPlanBig._chain_fused(x2, G1, arrs[name])
+            return RouterPlanBig._chain(x2, G1, arrs[name], lane_gather_tiled)
+
+        Y = self.n_pad // _S
+        dtype = pkf.dtype
+        is_int = jnp.issubdtype(dtype, jnp.integer) or dtype == jnp.bool_
+        acc = jnp.int32 if is_int else jnp.float32
+        x = jnp.asarray(pkf).astype(acc)
+        x2 = jnp.concatenate(
+            [x, jnp.zeros(self.n_pad - x.shape[0], acc)]
+        ).reshape(Y, _S)
+        zero = jnp.zeros((), acc)
+        u = jnp.where(a["w_sel"], route("r_win", x2), zero)
+        ues = route("r_es", u)
+        c_row = jnp.cumsum(ues, axis=1)
+        t = c_row[:, -1]
+        off = jnp.concatenate([jnp.zeros(1, t.dtype), jnp.cumsum(t)[:-1]])
+        cs = c_row + off[:, None]
+        gA = route("r_dea", cs)
+        gB = route("r_deb", cs)
+        ge = jnp.where(
+            a["de_sel"], gA - jnp.where(a["de_b0"], zero, gB), zero
+        )
+        # inner = ge - flat_next(u); z = flat suffix sum of inner
+        v = u.reshape(-1)
+        u_next = jnp.concatenate([v[1:], jnp.zeros(1, acc)]).reshape(Y, _S)
+        inner = ge - u_next
+        s_row = jnp.cumsum(inner[:, ::-1], axis=1)[:, ::-1]
+        ts = inner.sum(axis=1)
+        off_s = jnp.concatenate(
+            [jnp.cumsum(ts[::-1])[::-1][1:], jnp.zeros(1, ts.dtype)]
+        )
+        z = s_row + off_s[:, None]
+        out = jnp.where(a["a_sel"], route("r_aout", z), zero)
+        return out.reshape(-1)[: self.n_in].astype(dtype)
 
     def accumulate(self, data, arrs=None):
         """Flow accumulation of ``data`` ((n_cells,) array) on device.

@@ -123,6 +123,7 @@ def save_tile_plan(tp, path, down=True):
             _save_arr(path, "cd", k, v)
         if meta["down_coarse_router"]:
             rt = tp.coarse.down_router_tables()
+            meta["down_coarse_stages"] = len(rt["r_es"])
             for name in ("r_es", "r_dea", "r_deb"):
                 for i, st in enumerate(rt[name]):
                     _save_arr(path, "coarse_down", f"{name}_{i}", st)
@@ -242,13 +243,17 @@ def load_tile_plan(path, mmap=True):
     if meta.get("down"):
         use_cr = bool(meta.get("down_coarse_router"))
         if use_cr:
-            routers = {"G": np.int64(meta["coarse_G"])}
+            n_st = int(meta.get("down_coarse_stages", 5))
+            if meta["coarse_kind"] == "_CoarseRouterSmall":
+                routers = {"G": np.int64(meta["coarse_G"])}
+            else:
+                routers = {"G1": np.int64(meta["coarse_G1"])}
             for name in ("r_es", "r_dea", "r_deb"):
                 routers[name] = tuple(
                     np.asarray(
                         _load_arr(path, "coarse_down", f"{name}_{i}", mmap)
                     )
-                    for i in range(5)
+                    for i in range(n_st)
                 )
             tp.coarse.build_down(dfs, routers=routers)
         tp._down = {

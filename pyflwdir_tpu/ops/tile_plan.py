@@ -2303,10 +2303,13 @@ class TilePlan:
         e2n[meta["in_slot"][: meta["m"]]] = np.arange(
             meta["m"], dtype=np.int32
         )
-        # the single-chunk router coarse also solves the *downward*
-        # continuation as pure router passes (XLA 1-D gathers do not tile
-        # on TPU: the delta solve costs ~40 ms at 1.3M coarse nodes)
-        use_cr = isinstance(self.coarse, _CoarseRouterSmall)
+        # the router coarse (single-chunk or chunked) also solves the
+        # *downward* continuation as pure router passes (XLA 1-D gathers
+        # do not tile on TPU: the delta solve costs ~40 ms at 1.3M
+        # coarse nodes, and scales linearly past that)
+        use_cr = isinstance(self.coarse, _CoarseRouterSmall) or (
+            isinstance(self.coarse, BigAccelPlan) and self.coarse.slot_mode
+        )
         if use_cr:
             self.coarse.build_down(self._coarse_dfs)
         self._down = {

@@ -561,3 +561,40 @@ def test_accumulate_banded_matches_monolith():
     got_w = np.concatenate([parts[k] for k in sorted(parts)], axis=0)
     assert got_w.shape == shape
     assert np.array_equal(got_w, want_w)
+
+
+def test_tile_plan_big_router_coarse_down(tmp_path):
+    """The chunked (BigAccelPlan) coarse also solves the downward
+    continuation with routers: bitwise vs the gather-coarse plan, and
+    the save/load round-trip restores it without re-coloring."""
+    from pyflwdir_tpu.ops import tile_plan as tpm
+    from pyflwdir_tpu.ops.tile_plan import TilePlan
+
+    d8 = _grid((256, 256), seed=67)
+    idxs_ds, _, _ = d8c.from_array(d8)
+    tp_ref = build_tile_plan(idxs_ds, (256, 256))  # gather coarse
+    x = jnp.ones(idxs_ds.size, jnp.int32)
+    want_dn = np.asarray(tp_ref.accumulate_down(x))
+
+    old_min, old_max = tpm._COARSE_ROUTER_MIN, tpm._COARSE_SMALL_MAX
+    tpm._COARSE_ROUTER_MIN = 1
+    tpm._COARSE_SMALL_MAX = 0
+    try:
+        tp = build_tile_plan(idxs_ds, (256, 256))
+        assert type(tp.coarse).__name__ == "BigAccelPlan"
+        got_dn = np.asarray(tp.accumulate_down(x))
+        assert tp._down.get("coarse_router")
+        assert np.array_equal(got_dn, want_dn)
+        wf = np.random.RandomState(3).rand(idxs_ds.size).astype(np.float32)
+        dn_f = np.asarray(tp.accumulate_down(jnp.asarray(wf)))
+        dn_f_ref = np.asarray(tp_ref.accumulate_down(jnp.asarray(wf)))
+        scale = max(np.abs(dn_f_ref).max(), 1.0)
+        assert np.allclose(dn_f, dn_f_ref, rtol=1e-4, atol=4e-6 * scale)
+        tp.save(tmp_path / "plan")
+        tp2 = TilePlan.load(tmp_path / "plan")
+        assert type(tp2.coarse).__name__ == "BigAccelPlan"
+        assert tp2._down.get("coarse_router")
+        assert np.array_equal(np.asarray(tp2.accumulate_down(x)), want_dn)
+    finally:
+        tpm._COARSE_ROUTER_MIN = old_min
+        tpm._COARSE_SMALL_MAX = old_max

@@ -198,12 +198,13 @@ def bytes_moved_per_cell(plan):
 
 def tile_bytes_per_cell(tp, n_cells):
     """Static HBM traffic of one TilePlan accumulation, bytes per cell:
-    pass A reads data + its tables, pass C reads data + its tables and
-    writes the result; the coarse level is ~n/80 and negligible."""
+    fused pass A reads data + its tables and writes the c-grid, pass C
+    reads data + c + its (rin-free) tables and writes the result; the
+    coarse level is ~n/80 and negligible."""
     a_keys = tp._keys("a")
-    c_keys = tp._keys("c")
+    c_keys = tp._keys("cf")
     tab = lambda keys: sum(tp._tabs_np[k].nbytes for k in set(keys))
-    return (tab(a_keys) + tab(c_keys)) / n_cells + 3 * 4
+    return (tab(a_keys) + tab(c_keys)) / n_cells + 5 * 4
 
 
 def bench_big(jax, jnp):

@@ -918,6 +918,21 @@ def _body_a(x, tb, cfg):
     return (ce - _flat_prev(ce))[:R]
 
 
+def _body_a_fused(x, tb, cfg):
+    """Pass A that also emits the tile's raw slot prefix sums ``c`` —
+    pass C's shared prologue (rin chain + cumsum) computed once per
+    sweep instead of twice; :func:`_body_c_core` resumes from ``c``.
+    Trades ~8 B/cell of extra HBM traffic (write + re-read of ``c``)
+    for the VPU-latency-bound chain/cumsum, which the round-5 profile
+    shows dominates both passes."""
+    v = _local_chain(x, *_ptabs(tb, "rin"), cfg["G"])
+    c = _cumsum_tile(v)
+    R = cfg["R_rows"]
+    Rp = max(R, min(8, cfg["Y"]))
+    ce = _local_chain(c, *_ptabs(tb, "ex"), cfg["G"])[:Rp]
+    return (ce - _flat_prev(ce))[:R], c
+
+
 def _body_c(x, entA, tb, cfg):
     """Pass C on one (Y, 128) tile: final accumulation in raster order.
 
@@ -927,9 +942,17 @@ def _body_c(x, entA, tb, cfg):
     <= s - 1]`` — one small cumsum plus one row-broadcast lane gather
     per entry row (~3x cheaper than routing the entries through a full
     5-stage chain; linearity of the prefix sum makes it exact)."""
-    Y, G = cfg["Y"], cfg["G"]
-    v = _local_chain(x, *_ptabs(tb, "rin"), G)
+    v = _local_chain(x, *_ptabs(tb, "rin"), cfg["G"])
     c = _cumsum_tile(v)
+    return _body_c_core(x, c, entA, tb, cfg)
+
+
+def _body_c_core(x, c, entA, tb, cfg):
+    """Pass-C tail from the tile's raw slot prefix sums ``c``: entry
+    step-injection, interval differences (near + far), outward routing
+    and the non-tree passthrough. Shared by the standalone pass C and
+    the fused A→C path (:func:`_body_a_fused`)."""
+    Y, G = cfg["Y"], cfg["G"]
     if cfg["has_entries"]:
         E_rows = entA.shape[0]
         pad_rows = max(8 - E_rows, 0)  # Mosaic: no sub-8-sublane gathers
@@ -1714,6 +1737,9 @@ class TilePlan:
             return list(self._A_KEYS) + igs(["rin", "ex"])
         keys = list(self._C_KEYS)
         routers = ["rin", "rout"]
+        if which == "cf":  # fused pass C: prologue done by pass A
+            keys = [k for k in keys if not k.startswith("rin_")]
+            routers.remove("rin")
         if self.far_mode == "router":
             keys += list(self._C_FAR_R)
             routers += ["fexp", "ffar"]
@@ -1751,14 +1777,14 @@ class TilePlan:
             .reshape(self.pshape)
         )
 
-    def _block_tiles(self, keys, div, itemsize):
+    def _block_tiles(self, keys, div, itemsize, nbuf=2):
         """Tiles per Pallas kernel instance: one-tile DMAs leave the HBM
         pipeline latency-bound (~240 GB/s measured vs ~510 GB/s at 16-tile
         blocks on v5e), so batch as many tiles as divide ``div`` under a
         VMEM budget (~3 MB per buffer set, double-buffered by pallas)."""
         per_tile = sum(
             self._tabs_np[k].nbytes // self.NT for k in keys
-        ) + 2 * self.Y * _S * itemsize
+        ) + nbuf * self.Y * _S * itemsize
         tb = 1
         while (
             tb * 2 <= 16
@@ -1847,6 +1873,109 @@ class TilePlan:
             ),
             out_shape=jax.ShapeDtypeStruct(self.pshape, xg.dtype),
         )(xg, entv, *[arrs[k] for k in keys])
+
+    def _pass_a_fused(self, xg, arrs, cfg):
+        """Pass A emitting (exits, c-grid): the rin chain + tile cumsum
+        run once here and pass C resumes from ``c`` (_body_a_fused)."""
+        keys = self._keys("a")
+        if not _on_tpu():
+            xt = self._tiles_cpu(xg)
+            body = lambda x, *tt: _body_a_fused(x, dict(zip(keys, tt)), cfg)
+            ex, ct = jax.vmap(body)(xt, *[arrs[k] for k in keys])
+            return ex, self._untile_cpu(ct)
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        nty, ntx = self.grid
+        Y = self.Y
+        TB = self._block_tiles(keys, ntx, xg.dtype.itemsize, nbuf=3)
+        nbx = ntx // TB
+
+        def kern(x_ref, *refs):
+            e_ref, c_ref = refs[-2], refs[-1]
+            for b in range(TB):
+                tb = {k: r[b] for k, r in zip(keys, refs[:-2])}
+                ex, c = _body_a_fused(
+                    x_ref[:, b * _S : (b + 1) * _S], tb, cfg
+                )
+                e_ref[b] = ex
+                c_ref[:, b * _S : (b + 1) * _S] = c
+
+        vm = pltpu.VMEM
+        in_specs = [
+            pl.BlockSpec(
+                (Y, TB * _S), lambda k: (k // nbx, k % nbx), memory_space=vm
+            )
+        ] + [self._tab_spec(pl, vm, k, TB) for k in keys]
+        return pl.pallas_call(
+            kern,
+            grid=(self.NT // TB,),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec(
+                    (TB, self.R_rows, _S),
+                    lambda k: (k, 0, 0),
+                    memory_space=vm,
+                ),
+                pl.BlockSpec(
+                    (Y, TB * _S),
+                    lambda k: (k // nbx, k % nbx),
+                    memory_space=vm,
+                ),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((self.NT, self.R_rows, _S), xg.dtype),
+                jax.ShapeDtypeStruct(self.pshape, xg.dtype),
+            ),
+        )(xg, *[arrs[k] for k in keys])
+
+    def _pass_c_fused(self, xg, cg, entv, arrs, cfg):
+        """Pass C resuming from the precomputed ``c`` grid (_body_c_core);
+        drops the rin tables and the chain/cumsum prologue."""
+        keys = self._keys("cf")
+        if not _on_tpu():
+            xt = self._tiles_cpu(xg)
+            ct = self._tiles_cpu(cg)
+            body = lambda x, c, ea, *tt: _body_c_core(
+                x, c, ea, dict(zip(keys, tt)), cfg
+            )
+            out = jax.vmap(body)(xt, ct, entv, *[arrs[k] for k in keys])
+            return self._untile_cpu(out)
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        nty, ntx = self.grid
+        Y = self.Y
+        TB = self._block_tiles(keys, ntx, xg.dtype.itemsize, nbuf=3)
+        nbx = ntx // TB
+
+        def kern(x_ref, c_ref, e_ref, *refs):
+            o_ref = refs[-1]
+            for b in range(TB):
+                tb = {k: r[b] for k, r in zip(keys, refs[:-1])}
+                sl = slice(b * _S, (b + 1) * _S)
+                o_ref[:, sl] = _body_c_core(
+                    x_ref[:, sl], c_ref[:, sl], e_ref[b], tb, cfg
+                )
+
+        vm = pltpu.VMEM
+        grid_spec = pl.BlockSpec(
+            (Y, TB * _S), lambda k: (k // nbx, k % nbx), memory_space=vm
+        )
+        in_specs = [
+            grid_spec,
+            grid_spec,
+            pl.BlockSpec(
+                (TB, self.E_rows, _S), lambda k: (k, 0, 0), memory_space=vm
+            ),
+        ] + [self._tab_spec(pl, vm, k, TB) for k in keys]
+        return pl.pallas_call(
+            kern,
+            grid=(self.NT // TB,),
+            in_specs=in_specs,
+            out_specs=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(self.pshape, xg.dtype),
+        )(xg, cg, entv, *[arrs[k] for k in keys])
 
     def _pass_a_tiles(self, xt, arrs, cfg):
         """Pass A on a (NT', Y, 128) tile stack (shard-local layout)."""
@@ -2040,14 +2169,14 @@ class TilePlan:
         if (Hp, Wp) != (H, W):
             xg = jnp.pad(xg, ((0, Hp - H), (0, Wp - W)))
 
-        exits = self._pass_a(xg, arrs, cfg)
+        exits, cg = self._pass_a_fused(xg, arrs, cfg)
         entv = self.coarse.accumulate(exits.reshape(-1), arrs["coarse"])
         pad = self.NT * self.E_rows * _S - entv.shape[0]
         if pad > 0:
             entv = jnp.concatenate([entv, jnp.zeros(pad, entv.dtype)])
         entv = entv.reshape(self.NT, self.E_rows, _S)
 
-        out = self._pass_c(xg, entv, arrs, cfg)
+        out = self._pass_c_fused(xg, cg, entv, arrs, cfg)
         if (Hp, Wp) != (H, W):
             out = out[:H, :W]
         return out.reshape(-1).astype(dtype)

@@ -2046,6 +2046,95 @@ class TilePlan:
             out_shape=jax.ShapeDtypeStruct((NTl, Y, _S), xt.dtype),
         )(xt, entv, *[arrs[k] for k in keys])
 
+    def _pass_a_tiles_fused(self, xt, arrs, cfg):
+        """Fused pass A on a (NT', Y, 128) tile stack: returns (exits,
+        c-stack) so pass C can resume from the slot prefix sums."""
+        keys = self._keys("a")
+        if not _on_tpu():
+            body = lambda x, *tt: _body_a_fused(x, dict(zip(keys, tt)), cfg)
+            return jax.vmap(body)(xt, *[arrs[k] for k in keys])
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        Y = self.Y
+        NTl = xt.shape[0]
+        TB = self._block_tiles(keys, NTl, xt.dtype.itemsize, nbuf=3)
+
+        def kern(x_ref, *refs):
+            e_ref, c_ref = refs[-2], refs[-1]
+            for b in range(TB):
+                tb = {k: r[b] for k, r in zip(keys, refs[:-2])}
+                ex, c = _body_a_fused(x_ref[b], tb, cfg)
+                e_ref[b] = ex
+                c_ref[b] = c
+
+        vm = pltpu.VMEM
+        in_specs = [
+            pl.BlockSpec((TB, Y, _S), lambda k: (k, 0, 0), memory_space=vm)
+        ] + [self._tab_spec(pl, vm, k, TB) for k in keys]
+        return pl.pallas_call(
+            kern,
+            grid=(NTl // TB,),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec(
+                    (TB, self.R_rows, _S),
+                    lambda k: (k, 0, 0),
+                    memory_space=vm,
+                ),
+                pl.BlockSpec(
+                    (TB, Y, _S), lambda k: (k, 0, 0), memory_space=vm
+                ),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((NTl, self.R_rows, _S), xt.dtype),
+                jax.ShapeDtypeStruct((NTl, Y, _S), xt.dtype),
+            ),
+        )(xt, *[arrs[k] for k in keys])
+
+    def _pass_c_tiles_fused(self, xt, ct, entv, arrs, cfg):
+        """Fused pass C on a (NT', Y, 128) tile stack resuming from the
+        c-stack of :meth:`_pass_a_tiles_fused`."""
+        keys = self._keys("cf")
+        if not _on_tpu():
+            body = lambda x, c, ea, *tt: _body_c_core(
+                x, c, ea, dict(zip(keys, tt)), cfg
+            )
+            return jax.vmap(body)(xt, ct, entv, *[arrs[k] for k in keys])
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        Y = self.Y
+        NTl = xt.shape[0]
+        TB = self._block_tiles(keys, NTl, xt.dtype.itemsize, nbuf=3)
+
+        def kern(x_ref, c_ref, e_ref, *refs):
+            o_ref = refs[-1]
+            for b in range(TB):
+                tb = {k: r[b] for k, r in zip(keys, refs[:-1])}
+                o_ref[b] = _body_c_core(
+                    x_ref[b], c_ref[b], e_ref[b], tb, cfg
+                )
+
+        vm = pltpu.VMEM
+        stack_spec = pl.BlockSpec(
+            (TB, Y, _S), lambda k: (k, 0, 0), memory_space=vm
+        )
+        in_specs = [
+            stack_spec,
+            stack_spec,
+            pl.BlockSpec(
+                (TB, self.E_rows, _S), lambda k: (k, 0, 0), memory_space=vm
+            ),
+        ] + [self._tab_spec(pl, vm, k, TB) for k in keys]
+        return pl.pallas_call(
+            kern,
+            grid=(NTl // TB,),
+            in_specs=in_specs,
+            out_specs=stack_spec,
+            out_shape=jax.ShapeDtypeStruct((NTl, Y, _S), xt.dtype),
+        )(xt, ct, entv, *[arrs[k] for k in keys])
+
     def _acc_cfg(self, dtype):
         is_int = jnp.issubdtype(dtype, jnp.integer) or dtype == jnp.bool_
         x64 = jax.dtypes.canonicalize_dtype(jnp.float64) == jnp.float64
@@ -2106,16 +2195,23 @@ class TilePlan:
         def body(xt_l, tabs_l, coarse_l):
             NTc = NTl // C
             gathered = []
+            c_chunks = []
             for c in range(C):
                 xt_c = lax.slice_in_dim(xt_l, c * NTc, (c + 1) * NTc, axis=0)
                 tabs_c = {
                     k: lax.slice_in_dim(v, c * NTc, (c + 1) * NTc, axis=0)
                     for k, v in tabs_l.items()
                 }
-                ex_c = self._pass_a_tiles(xt_c, tabs_c, cfg)
+                ex_c, ct_c = self._pass_a_tiles_fused(xt_c, tabs_c, cfg)
+                c_chunks.append(ct_c)  # stays shard-local (no gather)
                 for ax in reversed(axes):  # minor axis first: row-major
                     ex_c = lax.all_gather(ex_c, ax, axis=0, tiled=True)
                 gathered.append(ex_c)
+            ct_l = (
+                c_chunks[0]
+                if C == 1
+                else jnp.concatenate(c_chunks, axis=0)
+            )
             if C == 1:
                 ex_g = gathered[0]
             else:
@@ -2136,7 +2232,7 @@ class TilePlan:
             for ax in axes[1:]:
                 idx = idx * lax.axis_size(ax) + lax.axis_index(ax)
             ent_l = lax.dynamic_slice_in_dim(entv, idx * NTl, NTl, 0)
-            return self._pass_c_tiles(xt_l, ent_l, tabs_l, cfg)
+            return self._pass_c_tiles_fused(xt_l, ct_l, ent_l, tabs_l, cfg)
 
         out_t = shard_map(
             body,

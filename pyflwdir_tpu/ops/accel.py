@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -124,8 +125,16 @@ class AccelPlan:
         tree_mask = np.zeros(n_pad, dtype=bool)
         tree_mask[:n_cells] = pos >= 0
         self.tree_mask = jnp.asarray(tree_mask.reshape(Y, _S))
+        # int8 mask copies for the fused in-kernel path (Mosaic-friendly)
+        self.near_sel_i8 = jnp.asarray(
+            near_mask.astype(np.int8).reshape(Y, _S)
+        )
+        self.sel_next_i8 = jnp.asarray(
+            sel_next.astype(np.int8).reshape(Y, _S)
+        )
 
         self.has_far = D > 0
+        self.b = b
         if self.has_far:
             # R_exp: slot b*j <- preorder position uniq_e[j]
             slots = np.arange(D, dtype=np.int64) * b
@@ -150,6 +159,9 @@ class AccelPlan:
             far_mask = np.zeros(n_pad, dtype=np.float32)
             far_mask[pre[k_far]] = 1.0
             self.far_mask = jnp.asarray(far_mask.reshape(Y, _S))
+            self.far_sel_i8 = jnp.asarray(
+                far_mask.astype(np.int8).reshape(Y, _S)
+            )
 
         # constant upper-triangular matrices for matmul prefix sums
         iu = np.arange(_S)
@@ -174,6 +186,110 @@ class AccelPlan:
         off = off_in_g + bgx[:, None]
         return c_row + off.reshape(G * _S, 1)
 
+    # largest single fused kernel's VMEM footprint we allow (scoped-vmem
+    # limit is ~16 MB on v5e; past it Mosaic spills catastrophically)
+    _FUSED_VMEM_MAX = 15_000_000
+
+    def _fused_fits(self):
+        n = self.n_pad
+        k1 = n * (4 + 4 + 5)
+        k2 = n * (4 + 4 + 5 + 3)
+        k3 = n * (4 + 4 + 10 + 1) if self.has_far else 0
+        return max(k1, k2, k3) <= self._FUSED_VMEM_MAX
+
+    def _accumulate_fused(self, x2):
+        """Three-kernel fused sweep: (rin chain + cumsum) | (near
+        intervals + rout chain) | (far chain), with one XLA where-add
+        merge — replaces 4 router launches + the XLA glue between them
+        (measurably launch/glue-bound at demo-grid scale). The in-kernel
+        Hillis-Steele cumsum replaces the MXU-dot prefix sum; this path
+        carries integer-valued data only (see Flwdir._accumulate_dev),
+        so partial-sum order does not change the (exact) results."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from .tile_plan import _cumsum_tile, _flat_prev
+
+        G = self.G
+        spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        sds = jax.ShapeDtypeStruct(x2.shape, x2.dtype)
+
+        def ta(v, idx):
+            return jnp.take_along_axis(v, idx.astype(jnp.int32), axis=1)
+
+        def k1(x_ref, i1, is1, ig, is2, i3, c_ref):
+            v = RouterPlan._chain(
+                x_ref[:], G, i1[:], is1[:], ig[:], is2[:], i3[:], ta
+            )
+            c_ref[:] = _cumsum_tile(v)
+
+        c = pl.pallas_call(
+            k1, out_shape=sds, in_specs=[spec] * 6, out_specs=spec
+        )(x2, *self.r_in._device_arrays)
+
+        def k2(c_ref, idxn, seln, nsel, r1, rs1, rg, rs2, r3, o_ref):
+            cv = c_ref[:]
+            zrow = jnp.zeros((1, _S), cv.dtype)
+            c_next = jnp.concatenate([cv[1:], zrow], axis=0)
+            g_near = jnp.where(
+                seln[:].astype(jnp.int32) != 0,
+                ta(c_next, idxn[:]),
+                ta(cv, idxn[:]),
+            )
+            outp = (
+                jnp.where(
+                    nsel[:].astype(jnp.int32) != 0,
+                    g_near,
+                    jnp.zeros((), cv.dtype),
+                )
+                - _flat_prev(cv)
+            )
+            o_ref[:] = RouterPlan._chain(
+                outp, G, r1[:], rs1[:], rg[:], rs2[:], r3[:], ta
+            )
+
+        out = pl.pallas_call(
+            k2, out_shape=sds, in_specs=[spec] * 9, out_specs=spec
+        )(
+            c,
+            self.idx_near,
+            self.sel_next_i8,
+            self.near_sel_i8,
+            *self.r_out._device_arrays,
+        )
+
+        if self.has_far:
+            b = self.b
+
+            def k3(c_ref, *refs):
+                o_ref = refs[-1]
+                et = refs[0:5]
+                ft = refs[5:10]
+                fsel = refs[10]
+                w = RouterPlan._chain(
+                    c_ref[:], G, *(r[:] for r in et), ta
+                )
+                if b > 1:
+                    lane = lax.broadcasted_iota(jnp.int32, w.shape, 1)
+                    w = ta(w, (lane // b) * b)
+                fv = RouterPlan._chain(w, G, *(r[:] for r in ft), ta)
+                o_ref[:] = jnp.where(
+                    fsel[:].astype(jnp.int32) != 0,
+                    fv,
+                    jnp.zeros((), fv.dtype),
+                )
+
+            far = pl.pallas_call(
+                k3, out_shape=sds, in_specs=[spec] * 12, out_specs=spec
+            )(
+                c,
+                *self.r_exp._device_arrays,
+                *self.r_far._device_arrays,
+                self.far_sel_i8,
+            )
+            out = out + far
+        return jnp.where(self.tree_mask, out, x2)
+
     def accumulate(self, data):
         """Flow accumulation of ``data`` ((n_cells,) array) on device.
 
@@ -186,6 +302,12 @@ class AccelPlan:
         x2 = jnp.concatenate(
             [x, jnp.zeros(self.n_pad - self.n_cells, jnp.float32)]
         ).reshape(Y, _S)
+
+        from .router import _on_tpu
+
+        if _on_tpu() and self._fused_fits():
+            res = self._accumulate_fused(x2)
+            return res.reshape(-1)[: self.n_cells].astype(dtype)
 
         xp = self.r_in.apply(x2)
         c = self._cumsum2(xp)

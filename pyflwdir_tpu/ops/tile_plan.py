@@ -1110,6 +1110,47 @@ def _body_down(x, tb, cfg):
     return out, pk
 
 
+def _body_down_raw(x, tb, cfg):
+    """Pass D1 emitting the tile's raw preorder suffix sums ``z`` (plus
+    the packed coarse operands): the outward routing and non-tree
+    passthrough move to :func:`_body_down_fin`, which routes the local
+    and coarse contributions in ONE chain — routing is a permutation,
+    so ``chain(z1) + chain(z2) == chain(z1 + z2)`` bitwise. Used only
+    when a coarse continuation follows (``has_entries and k > 0``)."""
+    Y, G = cfg["Y"], cfg["G"]
+    zero = jnp.zeros((), x.dtype)
+    w0 = jnp.where(_mask(tb["tree_mask"]), x, zero)
+    u = _local_chain(w0, *_ptabs(tb, "rin"), G)
+    ues = _local_chain(w0, *_ptabs(tb, "es"), G)
+    cs = _cumsum_tile(ues)
+    gA = _local_chain(cs, *_ptabs(tb, "dea"), G)
+    gB = _local_chain(cs, *_ptabs(tb, "deb"), G)
+    ge = jnp.where(
+        _mask(tb["de_sel"]),
+        gA - jnp.where(_mask(tb["de_b0"]), zero, gB),
+        zero,
+    )
+    z = _suffix_tile(ge - _flat_next(u))
+    pk = _local_chain(z, *_ptabs(tb, "enti"), G)[: cfg["E_rows"]]
+    return z, pk
+
+
+def _body_down_fin(z1, x, xd, tb, cfg):
+    """Pass D2 finishing a raw D1: suffix-broadcast the diff-encoded
+    coarse continuations, add to the local suffix sums, route outward
+    once and apply the non-tree passthrough (see _body_down_raw)."""
+    Y, G = cfg["Y"], cfg["G"]
+    zero = jnp.zeros((), z1.dtype)
+    pad_rows = Y - xd.shape[0]
+    ev = xd
+    if pad_rows > 0:
+        ev = jnp.concatenate([ev, jnp.zeros((pad_rows, _S), ev.dtype)], axis=0)
+    de = _local_chain(ev, *_ptabs(tb, "exi"), G)
+    z2 = _suffix_tile(jnp.where(_mask(tb["re_sel"]), de, zero))
+    out = _local_chain(z1 + z2, *_ptabs(tb, "rout"), G)
+    return jnp.where(_mask(tb["tree_mask"]), out, x)
+
+
 def _body_down_lite(abar, xd, tb, cfg):
     """Downward pass D2 on one tile: add each tree's coarse continuation
     ``A[root]`` to all its members. ``xd`` carries the per-root values
@@ -2556,8 +2597,10 @@ class TilePlan:
         def igs(prefixes):
             return [f"{p}_ig" for p in prefixes] if self.G > 1 else []
 
-        if which == "d1":
-            fams = ["rin", "es", "dea", "deb", "rout"]
+        if which in ("d1", "d1raw"):
+            fams = ["rin", "es", "dea", "deb"]
+            if which == "d1":  # raw D1 defers the rout chain to D2
+                fams += ["rout"]
             keys = [f"{p}_{t}" for p in fams for t in ("i1", "is1", "is2", "i3")]
             keys += ["de_sel", "de_b0", "tree_mask"]
             if self.has_entries:
@@ -2703,6 +2746,98 @@ class TilePlan:
             out_specs=pl.BlockSpec((Y, TB * _S), gmap, memory_space=vm),
             out_shape=jax.ShapeDtypeStruct(self.pshape, abar.dtype),
         )(abar, xd, *[arrs[k] for k in keys])
+
+    def _pass_down_raw(self, xg, arrs, cfg):
+        """Raw pass D1: returns (z-grid, packed coarse operands); the
+        rout chain + passthrough run once in :meth:`_pass_down_fin`."""
+        keys = self._down_keys("d1raw")
+        if not _on_tpu():
+            xt = self._tiles_cpu(xg)
+            body = lambda x, *tt: _body_down_raw(x, dict(zip(keys, tt)), cfg)
+            z, pk = jax.vmap(body)(xt, *[arrs[k] for k in keys])
+            return self._untile_cpu(z), pk
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        nty, ntx = self.grid
+        Y = self.Y
+        TB = self._down_block_tiles(keys, ntx, xg.dtype.itemsize)
+        nbx = ntx // TB
+
+        def kern(x_ref, *refs):
+            z_ref, p_ref = refs[-2], refs[-1]
+            for b in range(TB):
+                tb = {k: r[b] for k, r in zip(keys, refs[:-2])}
+                z, p = _body_down_raw(x_ref[:, b * _S : (b + 1) * _S], tb, cfg)
+                z_ref[:, b * _S : (b + 1) * _S] = z
+                p_ref[b] = p
+
+        vm = pltpu.VMEM
+        gmap = lambda k: (k // nbx, k % nbx)
+        in_specs = [
+            pl.BlockSpec((Y, TB * _S), gmap, memory_space=vm)
+        ] + [self._down_tab_spec(pl, vm, k, TB) for k in keys]
+        return pl.pallas_call(
+            kern,
+            grid=(self.NT // TB,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((Y, TB * _S), gmap, memory_space=vm),
+                pl.BlockSpec(
+                    (TB, self.E_rows, _S), lambda k: (k, 0, 0), memory_space=vm
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(self.pshape, xg.dtype),
+                jax.ShapeDtypeStruct((self.NT, self.E_rows, _S), xg.dtype),
+            ],
+        )(xg, *[arrs[k] for k in keys])
+
+    def _pass_down_fin(self, zg, xg, xd, arrs, cfg):
+        """Finishing pass D2 for a raw D1 (see _body_down_fin)."""
+        keys = self._down_keys("d2")
+        if not _on_tpu():
+            zt = self._tiles_cpu(zg)
+            xt = self._tiles_cpu(xg)
+            body = lambda z, x, ev, *tt: _body_down_fin(
+                z, x, ev, dict(zip(keys, tt)), cfg
+            )
+            out = jax.vmap(body)(zt, xt, xd, *[arrs[k] for k in keys])
+            return self._untile_cpu(out)
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        nty, ntx = self.grid
+        Y = self.Y
+        TB = self._down_block_tiles(keys, ntx, zg.dtype.itemsize)
+        nbx = ntx // TB
+
+        def kern(z_ref, x_ref, e_ref, *refs):
+            o_ref = refs[-1]
+            for b in range(TB):
+                tb = {k: r[b] for k, r in zip(keys, refs[:-1])}
+                sl = slice(b * _S, (b + 1) * _S)
+                o_ref[:, sl] = _body_down_fin(
+                    z_ref[:, sl], x_ref[:, sl], e_ref[b], tb, cfg
+                )
+
+        vm = pltpu.VMEM
+        gmap = lambda k: (k // nbx, k % nbx)
+        grid_spec = pl.BlockSpec((Y, TB * _S), gmap, memory_space=vm)
+        in_specs = [
+            grid_spec,
+            grid_spec,
+            pl.BlockSpec(
+                (TB, self.R_rows, _S), lambda k: (k, 0, 0), memory_space=vm
+            ),
+        ] + [self._down_tab_spec(pl, vm, k, TB) for k in keys]
+        return pl.pallas_call(
+            kern,
+            grid=(self.NT // TB,),
+            in_specs=in_specs,
+            out_specs=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(self.pshape, zg.dtype),
+        )(zg, xg, xd, *[arrs[k] for k in keys])
 
     def _pass_down_tiles(self, xt, arrs, cfg):
         """Pass D1 on a (NT', Y, 128) tile stack (shard-local layout)."""
@@ -2906,9 +3041,13 @@ class TilePlan:
         if (Hp, Wp) != (H, W):
             xg = jnp.pad(xg, ((0, Hp - H), (0, Wp - W)))
 
-        abar, pk = self._pass_down(xg, darrs, cfg)
         k = self._down["k"]
-        if self.has_entries and k > 0:
+        fused = self.has_entries and k > 0
+        if fused:  # raw D1: routing + passthrough deferred to D2
+            abar, pk = self._pass_down_raw(xg, darrs, cfg)
+        else:
+            abar, pk = self._pass_down(xg, darrs, cfg)
+        if fused:
             pkf = pk.reshape(-1)
             if self._down.get("coarse_router"):
                 Aslot = self.coarse.accumulate_down(pkf, darrs["cdr"])[
@@ -2934,7 +3073,7 @@ class TilePlan:
                 [A3[:, 1:], jnp.zeros((self.NT, 1), A3.dtype)], axis=1
             )
             xd = (A3 - nxt).reshape(self.NT, self.R_rows, _S)
-            out = self._pass_down_lite(abar, xd, darrs, cfg)
+            out = self._pass_down_fin(abar, xg, xd, darrs, cfg)
         else:
             out = abar
         if (Hp, Wp) != (H, W):
